@@ -1,0 +1,662 @@
+package graft.engine
+
+import graft.core.{Doc, DocOut, Span, SpanKinds}
+import graft.html.{Arena, HtmlParser}
+import graft.rules.{DataDef, EditOp, RuleNode, ValueSource}
+import graft.selector.{SelectorList, SelectorMatcher, SelectorParser}
+
+import java.util.regex.{Matcher, Pattern, PatternSyntaxException}
+import scala.collection.mutable
+import scala.collection.mutable.ArrayBuffer
+
+/** Engine configuration (reference: ShadowApiOptions + data formatter,
+  * shadow_api.rs:55-59,115-123). The formatter must be a serializable
+  * function (it ships inside the broadcast program). */
+final case class EngineConfig(
+    asJson: Boolean = false,
+    dataFormatter: String => String = EngineConfig.defaultFormatter,
+    strictJsonEscape: Boolean = false)
+    extends Serializable
+
+object EngineConfig {
+  /** default_data_formatter (shadow_api.rs:121-123). */
+  val defaultFormatter: String => String =
+    data => s"<script>var shadow_api_data = $data;</script>"
+}
+
+/** One flattened rule: absolute selector (rule-tree nesting joined with the
+  * DESCENDANT combinator — shadow_api.rs:202-203), stable integer id
+  * (deterministic DFS counter mirroring the reference's AtomicUsize),
+  * handler-pruning flags (shadow_api.rs:234-278). */
+final case class CompiledRule(
+    id: Int,
+    selectorSrc: String,
+    selector: SelectorList,
+    node: RuleNode,
+    useElementHandler: Boolean,
+    useTextHandler: Boolean)
+    extends Serializable
+
+final case class RuleProgram(
+    rules: Vector[CompiledRule],
+    compileErrors: Vector[String],
+    config: EngineConfig)
+    extends Serializable
+
+object RuleCompiler {
+
+  /** Port of ShadowApi::parse / parse_rec / parse_one
+    * (shadow_api.rs:129-337). Quirks preserved: ids consumed even by
+    * invalid rules; an INVALID selector returns without popping the
+    * selector stack (observable: following siblings inherit the bad
+    * prefix — shadow_api.rs:206-212 early return). */
+  def compile(ruleTrees: Seq[RuleNode], config: EngineConfig = EngineConfig()): RuleProgram = {
+    val errors = new ArrayBuffer[String]
+    val rules = new ArrayBuffer[CompiledRule]
+    var counter = 1
+    val selectorStack = new ArrayBuffer[String]
+
+    def parseOne(r: RuleNode): Unit = {
+      val selectorId = counter
+      counter += 1
+      if (r.s.isEmpty) {
+        errors += "Empty selector"
+        return
+      }
+      selectorStack += r.s
+      val currentSelector = selectorStack.mkString(" ")
+      SelectorParser.parse(currentSelector) match {
+        case Left(e) =>
+          errors += s"Selector $currentSelector is invalid : $e"
+          return // reference bug kept: stack not popped
+        case Right(selObj) =>
+          var useElement =
+            r.hide || r.delete || r.edit.isDefined ||
+            r.insertAfter.nonEmpty || r.insertBefore.nonEmpty ||
+            r.append.nonEmpty || r.prepend.nonEmpty ||
+            r.data.exists(_.path.exists(_.nonEmpty))
+          var useText = false
+          r.data.flatMap(_.values) match {
+            case Some(values) if values.nonEmpty =>
+              values.valuesIterator.foreach {
+                case ValueSource.Attribute(_) => useElement = true
+                case ValueSource.Contents     => useText = true
+                case ValueSource.Value        => useElement = true
+              }
+            case Some(_) =>
+              errors += "Invalid def : 'data.values' is not an object"
+              useElement = false
+              useText = false
+            case None =>
+          }
+          // NB: runs AFTER the empty-values disable, re-enabling the text
+          // handler — reference order (shadow_api.rs:274-278)
+          if (r.edit.exists(_.content.isDefined)) useText = true
+
+          if (useElement || useText)
+            rules += CompiledRule(selectorId, currentSelector, selObj, r, useElement, useText)
+          r.sub.foreach(parseOne)
+          selectorStack.remove(selectorStack.length - 1)
+      }
+    }
+
+    ruleTrees.foreach(parseOne)
+    RuleProgram(rules.toVector, errors.toVector, config)
+  }
+}
+
+/** Per-task engine instance: pure per-row function
+  * (rules, spans) -> (spans_out, data_json, errors). Holds only a regex
+  * memo cache across rows (reference: regex_map in the parse cache,
+  * shadow_api.rs:141-143); all other state is row-local. */
+final class ShadowEngine(program: RuleProgram) extends Serializable {
+
+  @transient private lazy val regexCache = new mutable.HashMap[String, Pattern]
+
+  private val config = program.config
+  private val rules = program.rules
+
+  def process(doc: Doc): DocOut = {
+    val errors = new ArrayBuffer[String]
+    errors ++= program.compileErrors
+    try {
+      processInternal(doc, errors)
+    } catch {
+      case e: DataTreeError =>
+        // The reference would panic (process crash); we record and move on.
+        errors += s"[engine] ${e.getMessage}"
+        DocOut(doc.doc_id, Seq.empty, "", errors.toSeq)
+      case e: Exception =>
+        errors += s"[engine] internal error: ${e.getClass.getSimpleName}: ${e.getMessage}"
+        DocOut(doc.doc_id, Seq.empty, "", errors.toSeq)
+    }
+  }
+
+  private def processInternal(doc: Doc, errors: ArrayBuffer[String]): DocOut = {
+    // ---- assemble the byte stream + media markers ----
+    val ordered = doc.spans.sortBy(_.offset)
+    val sb = new java.lang.StringBuilder
+    val markers = new ArrayBuffer[HtmlParser.MediaMarker]
+    ordered.foreach { sp =>
+      if (sp.kind == SpanKinds.Media)
+        markers += HtmlParser.MediaMarker(sb.length, sp.media_ref, sp.text)
+      else sb.append(sp.text)
+    }
+    val a = HtmlParser.parse(sb.toString, markers.toSeq)
+
+    // ---- mutation overlay ----
+    val removed = new Array[Boolean](a.size)
+    val contentOverride = new Array[String](a.size)
+    val beforeL = new Array[ArrayBuffer[String]](a.size)
+    val prependL = new Array[ArrayBuffer[String]](a.size)
+    val appendL = new Array[ArrayBuffer[String]](a.size)
+    val afterL = new Array[ArrayBuffer[String]](a.size)
+    val chunkRemoved = new Array[Boolean](a.size)
+    val chunkReplacement = new Array[String](a.size)
+    val attrOverlay = new Array[AttrOverlay](a.size)
+    /** body end-tag JSON injection html, keyed by element node */
+    val dataInjection = new Array[String](a.size)
+
+    val cursor = new DataCursor
+    val textBuffers = new mutable.HashMap[Int, java.lang.StringBuilder]
+    // rule indexes (into `rules`) with text handlers active for the open
+    // element chain; parallel to an element-stack of marks
+    val activeTextRules = new ArrayBuffer[Int]
+
+    def attrsOf(el: Int): AttrOverlay = {
+      var ov = attrOverlay(el)
+      if (ov == null) { ov = new AttrOverlay(a, el); attrOverlay(el) = ov }
+      ov
+    }
+
+    // ---- element handler (element_content_handler, shadow_api.rs:339-565) ----
+    def elementHandler(rule: CompiledRule, el: Int, endActions: ArrayBuffer[() => Unit]): Unit = {
+      val r = rule.node
+      val delete = r.delete
+
+      // (1) injections; lol_html accumulation order: before/append in call
+      // order, after/prepend reversed (later call closest to the element)
+      if (r.insertAfter.nonEmpty) {
+        if (afterL(el) == null) afterL(el) = new ArrayBuffer[String]
+        r.insertAfter.foreach(t => afterL(el).insert(0, t))
+      }
+      if (r.insertBefore.nonEmpty) {
+        if (beforeL(el) == null) beforeL(el) = new ArrayBuffer[String]
+        beforeL(el) ++= r.insertBefore
+      }
+      if (r.append.nonEmpty) {
+        if (appendL(el) == null) appendL(el) = new ArrayBuffer[String]
+        appendL(el) ++= r.append
+      }
+      if (r.prepend.nonEmpty) {
+        if (prependL(el) == null) prependL(el) = new ArrayBuffer[String]
+        r.prepend.foreach(t => prependL(el).insert(0, t))
+      }
+
+      if (!delete) {
+        // (2) hide — quirk kept: NO-OP when a style attribute already
+        // exists (shadow_api.rs:373-377 mutates an owned copy)
+        if (r.hide) {
+          val ov = attrsOf(el)
+          if (ov.get("style") == null) ov.set("style", "display: none")
+        }
+        r.edit.foreach { edit =>
+          edit.attrs.foreach { case (key, op) =>
+            val ov = attrsOf(el)
+            op.op match {
+              case "delete" => ov.remove(key)
+              case "upsert" =>
+                op.value match {
+                  case Some(v) => ov.set(key, v)
+                  case None => errors += s"Upsert requires val attribute (edit.attrs.$key)"
+                }
+              case "match_replace" =>
+                (op.matchPat, op.value) match {
+                  case (Some(pat), Some(newV)) =>
+                    val old = { val v = ov.get(key); if (v == null) "" else v }
+                    matchReplace(pat, old, newV, errors).foreach(ov.set(key, _))
+                  case _ => // silently nothing, like the reference
+                }
+              case other =>
+                errors += s"Invalid operation (edit.attrs.$key): $other. Allowed values : delete/upsert/match_replace"
+            }
+          }
+          edit.content.foreach { c =>
+            // (M10) empty-element path: upsert replaces the WHOLE subtree
+            // (shadow_api.rs:419-425; tests/test_edge_cases.rs)
+            if (c.op == "upsert" && a.canHaveContent(el) && c.value.isDefined)
+              contentOverride(el) = escapeText(c.value.get)
+          }
+        }
+      }
+
+      // (3) data extraction at element open (shadow_api.rs:429-559)
+      r.data match {
+        case Some(dataDef) =>
+          DataOps.onDataTagOpen(rule.id, dataDef, cursor) match {
+            case Left(err) => errors += err
+            case Right(dataItem) =>
+              if (a.canHaveContent(el) && a.hasEndTag(el)) {
+                endActions += { () =>
+                  DataOps.onDataTagClose(dataDef, cursor).foreach(errors += _)
+                }
+              }
+              dataDef.values match {
+                case Some(values) if values.nonEmpty =>
+                  val ov = attrsOf(el) // post-edit snapshot (shadow_api.rs:456-460)
+                  values.foreach { case (key, source) =>
+                    source match {
+                      case ValueSource.Attribute(attrName) =>
+                        if (attrName.nonEmpty) {
+                          val v = ov.get(attrName)
+                          if (v != null)
+                            dataItem.set(key, DNode.newString(rule.id, dataItem, v))
+                        }
+                      case ValueSource.Contents => // text handler's job
+                      case ValueSource.Value =>
+                        extractFormValue(rule.id, a, el, ov, key, dataItem, errors)
+                    }
+                  }
+                case Some(_) =>
+                  errors += "Invalid def : 'data.values' is not an object"
+                  return // reference early-returns BEFORE delete (shadow_api.rs:551)
+                case None =>
+              }
+          }
+        case None =>
+      }
+
+      // (4) delete last — injections already registered, extraction done
+      if (delete) removed(el) = true
+    }
+
+    // form-value shortcut (shadow_api.rs:477-544)
+    def extractFormValue(ruleId: Int, a: Arena, el: Int, ov: AttrOverlay,
+                         key: String, dataItem: DNode, errors: ArrayBuffer[String]): Unit = {
+      a.name(el) match {
+        case "input" =>
+          val inputType = ov.get("type")
+          if (inputType != null) inputType match {
+            case "radio" =>
+              if (ov.get("checked") != null)
+                dataItem.set(key, DNode.newString(ruleId, dataItem, Option(ov.get("value")).getOrElse("")))
+              else if (dataItem.get(key).isEmpty)
+                dataItem.set(key, DNode.newString(ruleId, dataItem, ""))
+            case "checkbox" =>
+              if (dataItem.get(key).isEmpty)
+                dataItem.set(key, DNode.newArray(ruleId, dataItem))
+              if (ov.get("checked") != null)
+                dataItem.get(key).foreach(_.push(
+                  DNode.newString(ruleId, dataItem, Option(ov.get("value")).getOrElse(""))))
+            case _ =>
+              dataItem.set(key, DNode.newString(ruleId, dataItem, Option(ov.get("value")).getOrElse("")))
+          }
+        case "option" =>
+          dataItem.set(key, DNode.newString(ruleId, dataItem, Option(ov.get("value")).getOrElse("")))
+        case other =>
+          errors += s"Unimplemented input: '$other' (TODO)"
+      }
+    }
+
+    // ---- text handler (text_content_handler, shadow_api.rs:610-688) ----
+    def textHandler(ruleIdx: Int, chunk: Int): Unit = {
+      val rule = rules(ruleIdx)
+      val r = rule.node
+      val buf = textBuffers.getOrElseUpdate(ruleIdx, new java.lang.StringBuilder)
+      buf.append(a.raw(chunk))
+      chunkRemoved(chunk) = true
+      if (a.lastInTextNode(chunk)) {
+        var content = buf.toString
+        r.edit.flatMap(_.content).foreach { c =>
+          c.op match {
+            case "delete" => content = ""
+            case "upsert" =>
+              c.value match {
+                case Some(v) => content = v
+                case None => errors += "Upsert requires an existing val content string"
+              }
+            case "match_replace" =>
+              (c.matchPat, c.value) match {
+                case (Some(pat), Some(newV)) =>
+                  matchReplace(pat, content, newV, errors).foreach(content = _)
+                case _ =>
+              }
+            case other =>
+              errors += s"Invalid operation (edit.content): $other. Allowed values : delete/upsert/match_replace"
+          }
+        }
+        r.data.flatMap(_.values).foreach { values =>
+          if (values.nonEmpty) {
+            values.foreach {
+              case (key, ValueSource.Contents) =>
+                cursor.current.set(key, DNode.newString(rule.id, cursor.current, content))
+              case _ =>
+            }
+          }
+        }
+        chunkReplacement(chunk) = escapeText(content)
+        buf.setLength(0)
+      }
+    }
+
+    // ---- document-order traversal replaying lol_html handler dispatch ----
+    def walk(node: Int): Unit = {
+      a.kind(node) match {
+        case a.nElem =>
+          val endActions = new ArrayBuffer[() => Unit](2)
+          val textMark = activeTextRules.length
+          var ri = 0
+          while (ri < rules.length) {
+            val rule = rules(ri)
+            if ((rule.useElementHandler || rule.useTextHandler) &&
+                SelectorMatcher.matches(a, node, rule.selector)) {
+              if (rule.useElementHandler) elementHandler(rule, node, endActions)
+              if (rule.useTextHandler) activeTextRules += ri
+            }
+            ri += 1
+          }
+          // data injection registered last (data_content_handler appended
+          // after all user rules — shadow_api.rs:153-161,690-712)
+          if (a.name(node) == "body" && !config.asJson && a.hasEndTag(node)) {
+            val bodyNode = node
+            endActions += { () =>
+              dataInjection(bodyNode) = config.dataFormatter(DNode.toJson(cursor.root, config.strictJsonEscape))
+            }
+          }
+          var c = a.firstChild(node)
+          while (c != -1) { walk(c); c = a.nextSibling(c) }
+          activeTextRules.dropRightInPlace(activeTextRules.length - textMark)
+          if (a.hasEndTag(node)) endActions.foreach(_.apply())
+        case a.nText =>
+          if (activeTextRules.nonEmpty) {
+            // fire in ech order, once per rule (buffers are per-rule)
+            val distinct = activeTextRules.distinct.sorted
+            var i = 0
+            while (i < distinct.length) { textHandler(distinct(i), node); i += 1 }
+          }
+        case _ => // raw/media/root: nothing to do
+          var c = a.firstChild(node)
+          while (c != -1) { walk(c); c = a.nextSibling(c) }
+      }
+    }
+    walk(0)
+
+    val dataJson = DNode.toJson(cursor.root, config.strictJsonEscape)
+
+    // ---- serialization: arena + overlay -> output spans ----
+    val outSpans = new ArrayBuffer[Span]
+    val hb = new java.lang.StringBuilder(sb.length + 64)
+    def flushHtml(): Unit =
+      if (hb.length > 0) { outSpans += Span(SpanKinds.Html, hb.toString, "", outSpans.length); hb.setLength(0) }
+
+    def emitMediaOnly(node: Int): Unit = {
+      if (a.kind(node) == a.nMedia) {
+        flushHtml()
+        outSpans += Span(SpanKinds.Media, a.raw(node), a.name(node), outSpans.length)
+      }
+      var c = a.firstChild(node)
+      while (c != -1) { emitMediaOnly(c); c = a.nextSibling(c) }
+    }
+
+    def emitList(l: ArrayBuffer[String]): Unit = if (l != null) l.foreach(hb.append)
+
+    def emit(node: Int): Unit = a.kind(node) match {
+      case a.nRoot =>
+        var c = a.firstChild(node)
+        while (c != -1) { emit(c); c = a.nextSibling(c) }
+      case a.nElem =>
+        emitList(beforeL(node))
+        if (removed(node)) {
+          // element + content removed; before/after content survives,
+          // media spans inside still pass through (north-rule contract)
+          emitMediaOnly(node)
+        } else {
+          emitStartTag(node)
+          if (a.canHaveContent(node)) emitList(prependL(node))
+          if (contentOverride(node) != null) {
+            hb.append(contentOverride(node))
+            emitMediaOnly(node) // media inside replaced subtree still emitted
+          } else {
+            var c = a.firstChild(node)
+            while (c != -1) { emit(c); c = a.nextSibling(c) }
+          }
+          if (a.hasEndTag(node)) {
+            emitList(appendL(node))
+            if (dataInjection(node) != null && dataInjection(node).nonEmpty) {
+              flushHtml()
+              outSpans += Span(SpanKinds.Data, dataInjection(node), "", outSpans.length)
+            }
+            hb.append(a.rawEnd(node))
+          }
+        }
+        emitList(afterL(node))
+      case a.nText =>
+        if (chunkReplacement(node) != null) hb.append(chunkReplacement(node))
+        else if (!chunkRemoved(node)) hb.append(a.raw(node))
+      case a.nRaw =>
+        hb.append(a.raw(node))
+      case a.nMedia =>
+        flushHtml()
+        outSpans += Span(SpanKinds.Media, a.raw(node), a.name(node), outSpans.length)
+    }
+
+    def emitStartTag(node: Int): Unit = {
+      val ov = attrOverlay(node)
+      if (ov == null || !ov.dirty) hb.append(a.raw(node))
+      else {
+        hb.append('<').append(a.tagRawName(node))
+        ov.emit(hb)
+        hb.append(a.tagTrailing(node))
+      }
+    }
+
+    if (config.asJson) {
+      // as_json: HTML output discarded; the JSON itself is the output
+      // stream (process_json, shadow_api.rs:714-732)
+      outSpans += Span(SpanKinds.Data, dataJson, "", 0)
+    } else {
+      emit(0)
+      flushHtml()
+    }
+
+    DocOut(doc.doc_id, outSpans.toSeq, dataJson, errors.toSeq)
+  }
+
+  /** lol_html ContentType::Text escaping. */
+  private def escapeText(s: String): String = {
+    var i = 0; var needs = false
+    while (i < s.length && !needs) {
+      val c = s.charAt(i); if (c == '<' || c == '>' || c == '&') needs = true; i += 1
+    }
+    if (!needs) return s
+    val sb = new java.lang.StringBuilder(s.length + 16)
+    i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '<' => sb.append("&lt;")
+        case '>' => sb.append("&gt;")
+        case '&' => sb.append("&amp;")
+        case c   => sb.append(c)
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** match_replace (shadow_api.rs:570-608): per-pattern memo cache; compile
+    * failures are NOT cached (error pushed on every use); returns None when
+    * the replacement equals the input. Replacement syntax is the Rust regex
+    * `$N`/`${name}`/`$$` form. */
+  private def matchReplace(pat: String, old: String, newValue: String,
+                           errors: ArrayBuffer[String]): Option[String] = {
+    val compiled = regexCache.get(pat) match {
+      case some @ Some(_) => some
+      case None =>
+        try {
+          val p = Pattern.compile(pat)
+          regexCache.update(pat, p)
+          Some(p)
+        } catch {
+          case e: PatternSyntaxException =>
+            errors += s"Invalid regex: $pat | Error: ${e.getMessage}"
+            None
+        }
+    }
+    compiled.flatMap { p =>
+      val result = rustReplaceAll(p, old, newValue)
+      if (result != old) Some(result) else None
+    }
+  }
+
+  /** replace_all with Rust-regex replacement-string semantics:
+    * `$$` literal, `$1`/`$name` longest word-char run (digits -> numbered
+    * group), `${name}` braced; unmatched/unknown groups expand to "". */
+  private def rustReplaceAll(p: Pattern, input: String, repl: String): String = {
+    // Java's Matcher.find() self-advances after zero-width matches, which
+    // matches Rust replace_all's non-overlapping semantics.
+    val m = p.matcher(input)
+    val sb = new java.lang.StringBuilder
+    var last = 0
+    while (m.find()) {
+      sb.append(input, last, m.start())
+      expandReplacement(sb, m, repl)
+      last = m.end()
+    }
+    sb.append(input, last, input.length)
+    sb.toString
+  }
+
+  private def expandReplacement(sb: java.lang.StringBuilder, m: Matcher, repl: String): Unit = {
+    var i = 0
+    val n = repl.length
+    while (i < n) {
+      val c = repl.charAt(i)
+      if (c == '$' && i + 1 < n) {
+        val c1 = repl.charAt(i + 1)
+        if (c1 == '$') { sb.append('$'); i += 2 }
+        else if (c1 == '{') {
+          val close = repl.indexOf('}', i + 2)
+          if (close < 0) { sb.append(repl.substring(i)); i = n }
+          else { appendGroup(sb, m, repl.substring(i + 2, close)); i = close + 1 }
+        } else if (isWordChar(c1)) {
+          var j = i + 1
+          while (j < n && isWordChar(repl.charAt(j))) j += 1
+          appendGroup(sb, m, repl.substring(i + 1, j))
+          i = j
+        } else { sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+  }
+
+  private def isWordChar(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9') || c == '_'
+
+  private def appendGroup(sb: java.lang.StringBuilder, m: Matcher, name: String): Unit = {
+    val g: String =
+      if (name.nonEmpty && name.forall(c => c >= '0' && c <= '9')) {
+        val idx = try name.toInt catch { case _: Exception => -1 }
+        if (idx >= 0 && idx <= m.groupCount()) m.group(idx) else null
+      } else {
+        try m.group(name) catch { case _: Exception => null }
+      }
+    if (g != null) sb.append(g)
+  }
+}
+
+/** Lazily materialized logical attribute list with edit tracking; preserves
+  * original bytes for untouched attrs, rebuilds minimally for edited ones
+  * (lol_html patches tags in place; byte-fidelity for unmutated markup). */
+final class AttrOverlay(a: Arena, el: Int) {
+  // states
+  private final val SKeep = 0; private final val SEdited = 1
+  private final val SAdded = 2; private final val SRemoved = 3
+  /** HTML5 duplicate attr: logically invisible, bytes preserved */
+  private final val SDup = 4
+
+  private val origIdx = new ArrayBuffer[Int]
+  private val names = new ArrayBuffer[String]
+  private val values = new ArrayBuffer[String]
+  private val states = new ArrayBuffer[Int]
+  var dirty = false
+
+  {
+    var i = a.attrStart(el)
+    while (i < a.attrEnd(el)) {
+      origIdx += i
+      names += a.attrName(i)
+      values += a.attrValue(i)
+      states += (if (a.attrDup(i)) SDup else SKeep)
+      i += 1
+    }
+  }
+
+  def get(name: String): String = {
+    val lower = name.toLowerCase(java.util.Locale.ROOT)
+    var i = 0
+    while (i < names.length) {
+      if (names(i) == lower && states(i) != SRemoved && states(i) != SDup) return values(i)
+      i += 1
+    }
+    null
+  }
+
+  def set(name: String, v: String): Unit = {
+    val lower = name.toLowerCase(java.util.Locale.ROOT)
+    var i = 0
+    while (i < names.length) {
+      if (names(i) == lower && states(i) != SRemoved && states(i) != SDup) {
+        values(i) = v
+        if (states(i) == SKeep) states(i) = SEdited
+        dirty = true
+        return
+      }
+      i += 1
+    }
+    origIdx += -1; names += lower; values += v; states += SAdded
+    dirty = true
+  }
+
+  def remove(name: String): Unit = {
+    val lower = name.toLowerCase(java.util.Locale.ROOT)
+    var i = 0
+    while (i < names.length) {
+      if (names(i) == lower && states(i) != SDup) {
+        if (states(i) != SRemoved) { states(i) = SRemoved; dirty = true }
+      }
+      i += 1
+    }
+  }
+
+  def emit(hb: java.lang.StringBuilder): Unit = {
+    var i = 0
+    while (i < names.length) {
+      states(i) match {
+        case SKeep | SDup =>
+          hb.append(a.attrPreRaw(origIdx(i))).append(a.attrRaw(origIdx(i)))
+        case SEdited =>
+          hb.append(a.attrPreRaw(origIdx(i))).append(a.attrNameRaw(origIdx(i)))
+            .append("=\"")
+          appendAttrEscaped(hb, values(i))
+          hb.append('"')
+        case SAdded =>
+          hb.append(' ').append(names(i)).append("=\"")
+          appendAttrEscaped(hb, values(i))
+          hb.append('"')
+        case SRemoved => // dropped with its preceding whitespace
+      }
+      i += 1
+    }
+  }
+
+  private def appendAttrEscaped(hb: java.lang.StringBuilder, v: String): Unit = {
+    var i = 0
+    while (i < v.length) {
+      v.charAt(i) match {
+        case '"' => hb.append("&quot;")
+        case '&' => hb.append("&amp;")
+        case c   => hb.append(c)
+      }
+      i += 1
+    }
+  }
+}
