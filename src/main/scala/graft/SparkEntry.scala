@@ -1,13 +1,517 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.core.{Doc, DocOut, Span, SpanKinds}
+import graft.corpus.Corpus
+import graft.engine.{EngineConfig, RuleCompiler, RuleProgram, ShadowEngine}
+import graft.pipeline.{Ann, Dedup, Multimodal, TextStats}
+import graft.rules.RuleParser
+import graft.spark.ShadowSpark
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Driver contract (see README/SURVEY.md §7): one `queries` entry per
+  * implemented operator from SURVEY.md §2 plus the training-pipeline
+  * operators; `oracleSql` gives DuckDB-equivalent SQL over the same parquet
+  * tables for every SQL-expressible query.
+  *
+  * Engine queries build deterministic HTML from the `documents` table with
+  * `concat(...)` so DuckDB can reconstruct the engine's expected output with
+  * string concatenation — a real end-to-end oracle for rewrite+extraction.
+  * Both the template and its expected output are composed from shared parts
+  * (`Tpl`) so the Spark side and the SQL side cannot drift.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  // ---------------------------------------------------------------- helpers
+
+  /** A template part: either a literal or a per-doc field. */
+  private sealed trait Part
+  private final case class L(s: String) extends Part
+  private final case class F(sql: String, col: Column) extends Part
+
+  private val fId = F("CAST(doc_id AS VARCHAR)", col("doc_id").cast("string"))
+  private val fText = F("text", col("text"))
+  private val fLang = F("lang", col("lang"))
+  private val fSource = F("source", col("source"))
+
+  /** Spark concat column for a template. */
+  private def tplCol(parts: Seq[Part]): Column =
+    concat(parts.map { case L(s) => lit(s); case F(_, c) => c }: _*)
+
+  /** DuckDB || expression for a template (single quotes doubled). */
+  private def tplSql(parts: Seq[Part]): String =
+    parts.map {
+      case L(s) => "'" + s.replace("'", "''") + "'"
+      case F(sql, _) => sql
+    }.mkString(" || ")
+
+  private def documents(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+  private def embeddings(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/embeddings.parquet")
+  private def lineitem(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/lineitem.parquet")
+  private def events(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/events.parquet")
+
+  private def compile(rules: Seq[String], config: EngineConfig = EngineConfig()): RuleProgram = {
+    val errs = new ArrayBuffer[String]
+    val parsed = rules.map(RuleParser.parseStr(_, errs))
+    val p = RuleCompiler.compile(parsed, config)
+    p.copy(compileErrors = errs.toVector ++ p.compileErrors)
+  }
+
+  /** Run the engine over per-doc HTML built from `documents`; returns
+    * (doc_id, html, data_json, errs). `chunk` > 0 splits the html into
+    * fixed-size spans (chunk-invariance path). */
+  private def runEngine(spark: SparkSession, dir: String, template: Seq[Part],
+                        rules: Seq[String], config: EngineConfig = EngineConfig(),
+                        chunk: Int = 0): DataFrame = {
+    import spark.implicits._
+    val program = compile(rules, config)
+    val bc = spark.sparkContext.broadcast(program)
+    val input = documents(spark, dir)
+      .select(col("doc_id").cast("string").as("doc_id"), tplCol(template).as("h"))
+      .as[(String, String)]
+    val out = input.mapPartitions { it =>
+      val engine = new ShadowEngine(bc.value)
+      it.map { case (id, h) =>
+        val spans =
+          if (chunk <= 0) Seq(Span(SpanKinds.Html, h, "", 0))
+          else h.grouped(chunk).zipWithIndex.map { case (c, i) => Span(SpanKinds.Html, c, "", i) }.toSeq
+        val r = engine.process(Doc(id, spans))
+        (r.doc_id,
+         r.spans.filter(s => s.kind == SpanKinds.Html || s.kind == SpanKinds.Data).map(_.text).mkString,
+         r.data_json,
+         r.errors.mkString("|"))
+      }
+    }.toDF("doc_id", "html", "data_json", "errs")
+    out.orderBy("doc_id")
+  }
+
+  private def oracleFor(expectedHtml: Seq[Part], expectedJson: Seq[Part],
+                        expectedErrs: String = ""): String =
+    s"SELECT CAST(doc_id AS VARCHAR) AS doc_id, ${tplSql(expectedHtml)} AS html, " +
+      s"${tplSql(expectedJson)} AS data_json, '${expectedErrs.replace("'", "''")}' AS errs " +
+      "FROM documents ORDER BY 1"
+
+  // ------------------------------------------------------- engine templates
+
+  /** Flagship template: exercises head+body rules, forms, collections. */
+  private val tplMain: Seq[Part] = Seq(
+    L("<html><head><title>Doc "), fId, L("</title><meta name=\"m1\" content=\""), fLang,
+    L(" content\"></head><body><div id=\"main\" class=\"content\">"), fText,
+    L("</div><a class=\"top_link\" href=\"http://site/"), fSource, L("/"), fId,
+    L("\" style=\"display:none\">L"), fId,
+    L("</a><div class=\"it\"><a href=\"x/"), fId, L("/1\">T1</a></div><div class=\"it\"><a href=\"x/"), fId,
+    L("/2\">T2</a></div><form><input type=\"text\" name=\"q\" value=\""), fLang, L("-"), fId,
+    L("\" /><input type=\"checkbox\" name=\"cb\" value=\"1\" checked /><input type=\"checkbox\" name=\"cb\" value=\"2\" /></form></body></html>"))
+
+  private val rulesMain: String =
+    """
+    {
+        "s": "body",
+        "sub": [
+            { "s": "#main", "data": { "path": "meta.info", "values": { "c": {"source": "Contents"} } } },
+            {
+                "s": "a.top_link",
+                "edit": { "attrs": { "style": { "op": "delete" }, "id": { "op": "upsert", "val": "lnk" } },
+                          "content": { "op": "upsert", "val": "NewLink" } },
+                "data": { "path": "link", "values": { "url": {"source": "Attribute", "name": "href"}, "name": {"source": "Contents"} } },
+                "hide": true
+            },
+            { "s": ".it", "data": { "path": "items." },
+              "sub": [ { "s": "a", "data": { "values": { "href": {"source": "Attribute", "name": "href"}, "t": {"source": "Contents"} } } } ] },
+            { "s": "input[name=\"q\"]", "data": { "path": "form", "values": { "q": {"source": "Value"} } } },
+            { "s": "input[name=\"cb\"][checked]", "data": { "values": { "cb": {"source": "Value"} } } }
+        ]
+    }
+    """
+
+  private val rulesHead: String =
+    """
+    { "s": "head", "sub": [
+        { "s": "title", "edit": { "content": { "op": "upsert", "val": "New Title" } } },
+        { "s": "meta", "edit": { "attrs": { "content": { "op": "match_replace", "match": "^(.*) content$", "val": "just $1" } } } }
+    ] }
+    """
+
+  /** Expected rewritten html for tplMain under rulesHead+rulesMain.
+    * Derivation notes: title upsert; meta match_replace; a.top_link hide is
+    * a NO-OP (style exists), style deleted, id=lnk appended, content
+    * replaced; the data JSON is injected right before </body>. The cursor
+    * walk: #main -> meta.info (popped), link (popped), items array (two
+    * entries), form object: q then sibling-values cb set at form level...
+    * cb rule has NO path so it writes into the CURRENT cursor node = form
+    * (descended by input[name=q]? no — q has path "form" and is void, so no
+    * pop happens (void elements never fire end-tag handlers) => cursor
+    * stays at form; cb lands in form too). */
+  private val tplMainExpectedHtml: Seq[Part] = Seq(
+    L("<html><head><title>New Title</title><meta name=\"m1\" content=\"just "), fLang,
+    L("\"></head><body><div id=\"main\" class=\"content\">"), fText,
+    L("</div><a class=\"top_link\" href=\"http://site/"), fSource, L("/"), fId,
+    L("\" id=\"lnk\">NewLink</a><div class=\"it\"><a href=\"x/"), fId,
+    L("/1\">T1</a></div><div class=\"it\"><a href=\"x/"), fId,
+    L("/2\">T2</a></div><form><input type=\"text\" name=\"q\" value=\""), fLang, L("-"), fId,
+    L("\" /><input type=\"checkbox\" name=\"cb\" value=\"1\" checked /><input type=\"checkbox\" name=\"cb\" value=\"2\" /></form>"),
+    L("<script>var shadow_api_data = ")) ++ tplMainExpectedJson ++ Seq(L(";</script></body></html>"))
+
+  private lazy val tplMainExpectedJson: Seq[Part] = Seq(
+    L("{\"meta\":{\"info\":{\"c\":\""), fText,
+    L("\"}},\"link\":{\"url\":\"http://site/"), fSource, L("/"), fId,
+    L("\",\"name\":\"NewLink\"},\"items\":[{\"href\":\"x/"), fId,
+    L("/1\",\"t\":\"T1\"},{\"href\":\"x/"), fId,
+    L("/2\",\"t\":\"T2\"}],\"form\":{\"q\":\""), fLang, L("-"), fId,
+    L("\",\"cb\":[\"1\"]}}"))
+
+  // ---------------------------------------------------------------- queries
+
+  def entry(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val docs = Corpus.generate(spark, 200, 8, megaEvery = 100)
+    val program = compile(Seq(Corpus.headRules, Corpus.corpusRules))
+    ShadowSpark.process(docs, program).toDF()
+      .select(col("doc_id"), size(col("spans")).as("n_spans"),
+        length(col("data_json")).as("json_len"), size(col("errors")).as("n_errors"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- engine: sources / full pipeline (SURVEY §2.1) ----
+    "s1_full_rewrite" -> ((s, dir) =>
+      runEngine(s, dir, tplMain, Seq(rulesHead, rulesMain))),
+    "s2_chunk_invariance" -> ((s, dir) =>
+      runEngine(s, dir, tplMain, Seq(rulesHead, rulesMain), chunk = 7)),
+    "s6_as_json" -> ((s, dir) =>
+      runEngine(s, dir, tplMain, Seq(rulesHead, rulesMain), EngineConfig(asJson = true))
+        .select(col("doc_id"), col("html").as("json_out"))),
+    "s7_s8_data_formatter" -> ((s, dir) =>
+      runEngine(s, dir, tplMain, Seq(rulesMain),
+        EngineConfig(dataFormatter = d => s"<!-- graft:$d -->"))
+        .select(col("doc_id"), col("data_json"))),
+
+    // ---- engine: mutations (SURVEY §2.3) ----
+    "m1_m4_injections" -> ((s, dir) =>
+      runEngine(s, dir,
+        Seq(L("<div id=\"w\"><div id=\"x\">"), fSource, L("</div></div>")),
+        Seq("""{ "s": "#x", "append": ["<i>A1</i>", "<i>A2</i>"], "prepend": ["<i>P1</i>", "<i>P2</i>"],
+                "insert_before": ["<i>B1</i>", "<i>B2</i>"], "insert_after": ["<i>F1</i>", "<i>F2</i>"] }"""))),
+    "m5_hide_quirk" -> ((s, dir) =>
+      runEngine(s, dir,
+        Seq(L("<p><b class=\"h\" style=\"color:red\">"), fLang, L("</b><i class=\"h\">"), fSource, L("</i></p>")),
+        Seq("""{ "s": ".h", "hide": true }"""))),
+    "m6_delete_extract" -> ((s, dir) =>
+      runEngine(s, dir,
+        Seq(L("<div class=\"del\">"), fText, L("</div><p>"), fLang, L("</p>")),
+        Seq("""{ "s": ".del", "data": { "path": "gone.", "values": { "c": {"source": "Contents"} } }, "delete": true }"""))),
+    "m7_m8_attr_edit" -> ((s, dir) =>
+      runEngine(s, dir,
+        Seq(L("<a id=\"l\" href=\"h/"), fId, L("\" rel=\"x\">"), fSource, L("</a>")),
+        Seq("""{ "s": "#l", "edit": { "attrs": { "rel": { "op": "delete" }, "target": { "op": "upsert", "val": "_blank" } } } }"""))),
+    "m9_x1_match_replace_attr" -> ((s, dir) =>
+      runEngine(s, dir,
+        Seq(L("<meta name=\"m\" content=\""), fLang, L(" content\"><p>ok</p>")),
+        Seq("""{ "s": "meta", "edit": { "attrs": { "content": { "op": "match_replace", "match": "^(.*) content$", "val": "just $1" } } } }"""))),
+    "m10_subtree_upsert" -> ((s, dir) =>
+      runEngine(s, dir,
+        Seq(L("<b id=\"t\"><i>old "), fText, L("</i><wbr>tail</b>")),
+        Seq("""{ "s": "#t", "edit": { "content": { "op": "upsert", "val": "fresh <x>" } } }"""))),
+    "m11_content_delete" -> ((s, dir) =>
+      runEngine(s, dir,
+        Seq(L("<p id=\"d\">"), fText, L("</p><p id=\"k\">"), fLang, L("</p>")),
+        Seq("""{ "s": "#d", "edit": { "content": { "op": "delete" } } }"""))),
+    "m12_text_coalescing" -> ((s, dir) =>
+      // 5-char spans: the text node is split across many chunks; the regex
+      // must see the COALESCED text (anchors ^$ over the whole run)
+      runEngine(s, dir,
+        Seq(L("<p id=\"c\">"), fText, L("</p>")),
+        Seq("""{ "s": "#c", "edit": { "content": { "op": "match_replace", "match": "^(.*)$", "val": "[$1]" } } }"""),
+        chunk = 5)),
+
+    // ---- engine: extraction (SURVEY §2.4) ----
+    "e1_extract_attribute" -> ((s, dir) =>
+      runEngine(s, dir,
+        Seq(L("<a class=\"z\" href=\"http://site/"), fSource, L("/"), fId, L("\">t</a>")),
+        Seq("""{ "s": "a.z", "data": { "path": "d", "values": { "url": {"source": "Attribute", "name": "href"} } } }"""))
+        .select(col("doc_id"), get_json_object(col("data_json"), "$.d.url").as("url"))),
+    "e2_extract_contents" -> ((s, dir) =>
+      runEngine(s, dir,
+        Seq(L("<div id=\"main\">"), fText, L("</div>")),
+        Seq("""{ "s": "#main", "data": { "path": "d", "values": { "c": {"source": "Contents"} } } }"""))
+        .select(col("doc_id"), get_json_object(col("data_json"), "$.d.c").as("content"))),
+    "e3_form_values" -> ((s, dir) =>
+      runEngine(s, dir,
+        Seq(L("<form><input type=\"text\" name=\"q\" value=\""), fLang, L("-"), fId,
+          L("\" /><input type=\"radio\" name=\"r\" value=\"r1\" /><input type=\"radio\" name=\"r\" value=\"r2\" checked /><input type=\"checkbox\" name=\"cb\" value=\"1\" checked /><input type=\"checkbox\" name=\"cb\" value=\"2\" /><select name=\"sk\"><option value=\"o1\">a</option><option value=\"o2\" selected=\"selected\">b</option></select></form>")),
+        Seq("""{ "s": "form", "data": { "path": "f" }, "sub": [
+            { "s": "input[name=\"q\"]", "data": { "values": { "q": {"source": "Value"} } } },
+            { "s": "input[name=\"r\"]", "data": { "values": { "r": {"source": "Value"} } } },
+            { "s": "input[name=\"cb\"]", "data": { "values": { "cb": {"source": "Value"} } } },
+            { "s": "select[name=\"sk\"] > option[selected=\"selected\"]", "data": { "values": { "sk": {"source": "Value"} } } }
+        ] }"""))
+        .select(col("doc_id"), col("data_json"))),
+    "e4_e7_data_paths" -> ((s, dir) =>
+      runEngine(s, dir, tplMain, Seq(rulesMain)).select(col("doc_id"), col("data_json"))),
+    "e8_json_escape_quirk" -> ((s, dir) =>
+      runEngine(s, dir,
+        // attr u: contains \" (valid JSON escape -> raw quote in output);
+        // attr v: single-quoted attr containing a RAW quote -> becomes "".
+        // Both use single-quoted HTML attrs (backslash is not an escape in
+        // HTML; a double quote would end a double-quoted attr value).
+        Seq(L("<div id=\"q\" data-u='"), fLang, L("\\\"x' data-v='ra\"w'>t</div>")),
+        Seq("""{ "s": "#q", "data": { "path": "d", "values": { "u": {"source": "Attribute", "name": "data-u"}, "v": {"source": "Attribute", "name": "data-v"} } } }"""))
+        .select(col("doc_id"), col("data_json"))),
+    "e11_error_channel" -> ((s, dir) =>
+      runEngine(s, dir,
+        Seq(L("<p id=\"a\">x</p><span id=\"b\">"), fLang, L("</span>")),
+        Seq("""{ "s": "#a", "edit": { "attrs": { "k": { "op": "bogus" } } } }""",
+            """{ "s": "#b", "data": { "values": { "v": {"source": "Value"} } } }"""))
+        .select(col("doc_id"), col("errs"))),
+
+    // ---- engine: rule compilation (SURVEY §2.2) ----
+    "p1_whitespace_quirk" -> ((s, dir) =>
+      runEngine(s, dir,
+        Seq(L("<p id=\"w\">x</p>")),
+        // val contains a newline and a run of 4 spaces -> parse_str strips
+        // newlines and halves double-spaces BEFORE parsing
+        Seq("{ \"s\": \"#w\", \"edit\": { \"content\": { \"op\": \"upsert\", \"val\": \"A\nB    C\" } } }"))),
+    "p4_selector_flattening" -> ((s, dir) =>
+      runEngine(s, dir,
+        Seq(L("<div id=\"o\"><section><b class=\"deep\">"), fSource, L("</b></section></div>")),
+        // nesting = DESCENDANT (not child): b is 2 levels below #o
+        Seq("""{ "s": "#o", "sub": [ { "s": "b.deep", "data": { "path": "d", "values": { "v": {"source": "Contents"} } } } ] }"""))
+        .select(col("doc_id"), col("data_json"))),
+    "p5_invalid_selector" -> ((s, dir) =>
+      runEngine(s, dir,
+        Seq(L("<p class=\"ok\">"), fLang, L("</p>")),
+        Seq("""{ "s": "p[", "hide": true }""", """{ "s": ".ok", "data": { "path": "d", "values": { "v": {"source": "Contents"} } } }"""))
+        .select(col("doc_id"), col("data_json"), col("errs"))),
+    "p7_transform_strings" -> ((s, dir) => {
+      import s.implicits._
+      val errs = new ArrayBuffer[String]
+      val rule = RuleParser.parseStr(
+        """{ "s": "#t", "edit": { "content": { "op": "upsert", "val": "VAL_TOKEN" } }, "append": ["<i>TOKEN</i>"] }""",
+        errs).transformStrings(_.replace("TOKEN", "SWAPPED"))
+      val program = RuleCompiler.compile(Seq(rule))
+      val bc = s.sparkContext.broadcast(program)
+      val input = documents(s, dir)
+        .select(col("doc_id").cast("string").as("doc_id"),
+          tplCol(Seq(L("<div id=\"t\">"), fText, L("</div>"))).as("h"))
+        .as[(String, String)]
+      input.mapPartitions { it =>
+        val e = new ShadowEngine(bc.value)
+        it.map { case (id, h) =>
+          val r = e.process(Doc(id, Seq(Span(SpanKinds.Html, h, "", 0))))
+          (id, r.spans.map(_.text).mkString)
+        }
+      }.toDF("doc_id", "html").orderBy("doc_id")
+    }),
+
+    // ---- relational / scale ops over TPC-H-ish tables ----
+    "q1_agg" -> ((s, dir) =>
+      lineitem(s, dir).groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity").cast("long")).as("sum_qty"),
+          sum(round(col("l_extendedprice") * 100).cast("long")).as("sum_base_cents"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "l_linestatus")),
+    "q2_join_broadcast" -> ((s, dir) => {
+      val li = lineitem(s, dir)
+      val ord = s.read.parquet(s"$dir/orders.parquet")
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+      val nat = s.read.parquet(s"$dir/nation.parquet")
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(cust, ord("o_custkey") === cust("c_custkey"))
+        .join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100).cast("long")).as("revenue_cents"),
+          count(lit(1)).as("n_lines"))
+        .orderBy("n_name")
+    }),
+    "q3_topk_window" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("l_orderkey"))
+        .orderBy(col("l_extendedprice").desc, col("l_linenumber"))
+      lineitem(s, dir)
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 2)
+        .select(col("l_orderkey"), col("rk"), col("l_linenumber"),
+          round(col("l_extendedprice") * 100).cast("long").as("price_cents"))
+        .orderBy("l_orderkey", "rk")
+    }),
+    "q4_events_window" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(round(col("value") * 100).cast("long")).as("value_cents"))
+        .orderBy("h", "event_type")),
+
+    // ---- dedup family ----
+    "dd1_exact_dedup" -> ((s, dir) =>
+      Dedup.exact(documents(s, dir))
+        .agg(count(lit(1)).as("n_unique"), sum(col("n_copies")).as("n_docs"),
+          min(col("keep_id")).as("min_keep"), max(col("keep_id")).as("max_keep"))),
+    "dd2_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashCandidates(documents(s, dir)).orderBy("id1", "id2")),
+    "dd3_simhash" -> ((s, dir) =>
+      Dedup.simhashCandidates(documents(s, dir)).orderBy("id1", "id2")),
+    "dd4_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardConsecutive(documents(s, dir)).orderBy("doc_id")),
+    "dd5_embedding_neardup" -> ((s, dir) =>
+      Dedup.embeddingNearDup(embeddings(s, dir), minCos = 0.9)
+        .select(col("id1"), col("id2")).orderBy("id1", "id2")),
+
+    // ---- similarity search ----
+    "ann1_quantized_topk" -> ((s, dir) => {
+      val q = firstEmbedding(s, dir)
+      Ann.quantizedTopK(embeddings(s, dir), q, 10)
+    }),
+    "ann2_bruteforce_topk" -> ((s, dir) => {
+      val q = firstEmbedding(s, dir)
+      Ann.bruteForceTopK(embeddings(s, dir), q, 10).select(col("vec_id"))
+    }),
+    "ann3_lsh_topk" -> ((s, dir) => {
+      val q = firstEmbedding(s, dir)
+      Ann.lshTopK(embeddings(s, dir), q, 10).select(col("vec_id"))
+    }),
+
+    // ---- text analysis ----
+    "tx1_lang_id" -> ((s, dir) => {
+      val p = TextStats.langId(documents(s, dir))
+      p.groupBy(col("lang_label"), col("lang_pred")).agg(count(lit(1)).as("n"))
+        .orderBy("lang_label", "lang_pred")
+    }),
+    "tx2_quality" -> ((s, dir) => TextStats.quality(documents(s, dir)).orderBy("doc_id")),
+    "tx3_token_counts" -> ((s, dir) => TextStats.tokenCounts(documents(s, dir)).orderBy("doc_id")),
+    "tx4_fingerprint" -> ((s, dir) => TextStats.fingerprints(documents(s, dir)).orderBy("doc_id")),
+
+    // ---- multimodal plumbing ----
+    "mm1_media_meta" -> ((s, dir) =>
+      Multimodal.metaForOracle(Multimodal.mediaTable(documents(s, dir))).orderBy("doc_id"))
+  )
+
+  private def firstEmbedding(s: SparkSession, dir: String): Array[Float] =
+    embeddings(s, dir).where(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+
+  // ------------------------------------------------------------- oracle SQL
+
+  def oracleSql: Map[String, String] = Map(
+    "s1_full_rewrite" -> oracleFor(tplMainExpectedHtml, tplMainExpectedJson),
+    "s2_chunk_invariance" -> oracleFor(tplMainExpectedHtml, tplMainExpectedJson),
+    "s6_as_json" ->
+      s"SELECT CAST(doc_id AS VARCHAR) AS doc_id, ${tplSql(tplMainExpectedJson)} AS json_out FROM documents ORDER BY 1",
+    "s7_s8_data_formatter" ->
+      s"SELECT CAST(doc_id AS VARCHAR) AS doc_id, ${tplSql(tplMainExpectedJson)} AS data_json FROM documents ORDER BY 1",
+
+    "m1_m4_injections" -> oracleFor(
+      Seq(L("<div id=\"w\"><i>B1</i><i>B2</i><div id=\"x\"><i>P2</i><i>P1</i>"), fSource,
+        L("<i>A1</i><i>A2</i></div><i>F2</i><i>F1</i></div>")),
+      Seq(L("{}"))),
+    "m5_hide_quirk" -> oracleFor(
+      Seq(L("<p><b class=\"h\" style=\"color:red\">"), fLang,
+        L("</b><i class=\"h\" style=\"display: none\">"), fSource, L("</i></p>")),
+      Seq(L("{}"))),
+    "m6_delete_extract" -> oracleFor(
+      Seq(L("<p>"), fLang, L("</p>")),
+      Seq(L("{\"gone\":[{\"c\":\""), fText, L("\"}]}"))),
+    "m7_m8_attr_edit" -> oracleFor(
+      Seq(L("<a id=\"l\" href=\"h/"), fId, L("\" target=\"_blank\">"), fSource, L("</a>")),
+      Seq(L("{}"))),
+    "m9_x1_match_replace_attr" -> oracleFor(
+      Seq(L("<meta name=\"m\" content=\"just "), fLang, L("\"><p>ok</p>")),
+      Seq(L("{}"))),
+    "m10_subtree_upsert" -> oracleFor(
+      Seq(L("<b id=\"t\">fresh &lt;x&gt;</b>")),
+      Seq(L("{}"))),
+    "m11_content_delete" -> oracleFor(
+      Seq(L("<p id=\"d\"></p><p id=\"k\">"), fLang, L("</p>")),
+      Seq(L("{}"))),
+    "m12_text_coalescing" -> oracleFor(
+      Seq(L("<p id=\"c\">["), fText, L("]</p>")),
+      Seq(L("{}"))),
+
+    "e1_extract_attribute" ->
+      "SELECT CAST(doc_id AS VARCHAR) AS doc_id, 'http://site/' || source || '/' || CAST(doc_id AS VARCHAR) AS url FROM documents ORDER BY 1",
+    "e2_extract_contents" ->
+      "SELECT CAST(doc_id AS VARCHAR) AS doc_id, text AS content FROM documents ORDER BY 1",
+    "e3_form_values" ->
+      ("SELECT CAST(doc_id AS VARCHAR) AS doc_id, '{\"f\":{\"q\":\"' || lang || '-' || CAST(doc_id AS VARCHAR) || " +
+        "'\",\"r\":\"r2\",\"cb\":[\"1\"],\"sk\":\"o2\"}}' AS data_json FROM documents ORDER BY 1"),
+    "e4_e7_data_paths" ->
+      s"SELECT CAST(doc_id AS VARCHAR) AS doc_id, ${tplSql(tplMainExpectedJson)} AS data_json FROM documents ORDER BY 1",
+    "e8_json_escape_quirk" ->
+      ("SELECT CAST(doc_id AS VARCHAR) AS doc_id, '{\"d\":{\"u\":\"' || lang || '\"x\",\"v\":\"\"}}' AS data_json " +
+        "FROM documents ORDER BY 1"),
+    "e11_error_channel" ->
+      ("SELECT CAST(doc_id AS VARCHAR) AS doc_id, 'Invalid operation (edit.attrs.k): bogus. Allowed values : " +
+        "delete/upsert/match_replace|Unimplemented input: ''span'' (TODO)' AS errs FROM documents ORDER BY 1"),
+
+    // "A\nB    C" -> newlines stripped -> "AB    C" -> one "  "->" " pass
+    // halves the 4-space run -> "AB  C"
+    "p1_whitespace_quirk" -> oracleFor(
+      Seq(L("<p id=\"w\">AB  C</p>")), Seq(L("{}"))),
+    "p4_selector_flattening" ->
+      "SELECT CAST(doc_id AS VARCHAR) AS doc_id, '{\"d\":{\"v\":\"' || source || '\"}}' AS data_json FROM documents ORDER BY 1",
+    // Reference quirk kept: the invalid selector "p[" is NOT popped off the
+    // selector stack, so the FOLLOWING tree's selector gets the bad prefix
+    // ("p[ .ok") and dies too -> no extraction at all, two errors.
+    "p5_invalid_selector" ->
+      ("SELECT CAST(doc_id AS VARCHAR) AS doc_id, '{}' AS data_json, " +
+        "'Selector p[ is invalid : expected identifier at position 2 in ''p[''|" +
+        "Selector p[ .ok is invalid : expected identifier at position 3 in ''p[ .ok''' AS errs " +
+        "FROM documents ORDER BY 1"),
+    "p7_transform_strings" ->
+      "SELECT CAST(doc_id AS VARCHAR) AS doc_id, '<div id=\"t\">VAL_SWAPPED<i>SWAPPED</i></div>' AS html FROM documents ORDER BY 1",
+
+    "q1_agg" ->
+      ("SELECT l_returnflag, l_linestatus, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, " +
+        "CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents, COUNT(*) AS n " +
+        "FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2"),
+    "q2_join_broadcast" ->
+      ("SELECT n_name, CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents, " +
+        "COUNT(*) AS n_lines FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey " +
+        "GROUP BY 1 ORDER BY 1"),
+    "q3_topk_window" ->
+      ("SELECT l_orderkey, rk, l_linenumber, price_cents FROM (" +
+        "SELECT l_orderkey, l_linenumber, CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents, " +
+        "row_number() OVER (PARTITION BY l_orderkey ORDER BY l_extendedprice DESC, l_linenumber) AS rk " +
+        "FROM lineitem) WHERE rk <= 2 ORDER BY l_orderkey, rk"),
+    "q4_events_window" ->
+      ("SELECT date_trunc('hour', ts) AS h, event_type, COUNT(*) AS n, " +
+        "CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents FROM events GROUP BY 1, 2 ORDER BY 1, 2"),
+
+    "dd1_exact_dedup" ->
+      ("SELECT COUNT(*) AS n_unique, CAST(SUM(n_copies) AS BIGINT) AS n_docs, MIN(keep_id) AS min_keep, MAX(keep_id) AS max_keep FROM (" +
+        "SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies FROM documents GROUP BY text)"),
+    "dd4_ngram_jaccard" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        "s AS (SELECT doc_id, list_distinct([array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)]) AS sh FROM t WHERE len(w) >= 3) " +
+        "SELECT a.doc_id AS doc_id, CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter, " +
+        "CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS BIGINT) AS uni " +
+        "FROM s a JOIN s b ON b.doc_id = a.doc_id + 1 ORDER BY 1"),
+    "ann1_quantized_topk" ->
+      ("SELECT vec_id, CAST(list_dot_product(list_transform(embedding, x -> round(x * 1000)), " +
+        "(SELECT list_transform(embedding, x -> round(x * 1000)) FROM embeddings WHERE vec_id = 0)) AS BIGINT) AS qdot " +
+        "FROM embeddings ORDER BY qdot DESC, vec_id LIMIT 10"),
+
+    "tx2_quality" ->
+      ("SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(length(text) AS INT) AS n_chars, " +
+        "CAST(len(string_split(text, ' ')) AS INT) AS n_tokens, " +
+        "CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a', 'of', 'and', 'in'))) AS INT) AS n_stopwords, " +
+        "CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS INT) AS n_punct, " +
+        "CAST(list_aggregate(list_transform(string_split(text, ' '), t -> length(t)), 'max') AS INT) AS max_token_len " +
+        "FROM documents ORDER BY 1"),
+    "tx3_token_counts" ->
+      ("SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens, " +
+        "CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) AS bpe_ish_tokens " +
+        "FROM documents ORDER BY 1"),
+    "mm1_media_meta" ->
+      ("SELECT doc_id, 'media://' || CAST(doc_id AS VARCHAR) AS media_ref, " +
+        "CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, " +
+        "CAST(16 + octet_length(encode(text)) % 64 AS INT) AS width, " +
+        "CAST(16 + octet_length(encode(text)) % 48 AS INT) AS height, " +
+        "CAST(1 + octet_length(encode(text)) % 7 AS INT) AS n_frames " +
+        "FROM documents ORDER BY 1")
+  )
 }

@@ -78,7 +78,7 @@ object RuleCompiler {
           var useText = false
           r.data.flatMap(_.values) match {
             case Some(values) if values.nonEmpty =>
-              values.valuesIterator.foreach {
+              values.iterator.map(_._2).foreach {
                 case ValueSource.Attribute(_) => useElement = true
                 case ValueSource.Contents     => useText = true
                 case ValueSource.Value        => useElement = true

@@ -1,0 +1,192 @@
+package graft.pipeline
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators over the `documents` /`embeddings`
+  * tables. Everything is expressed as DataFrame transformations so Catalyst
+  * can push filters/prune columns; the only row-local custom work is the
+  * native expressions in graft.functions (codegen-friendly).
+  *
+  * Scale notes (100 TB view) are on each operator.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the lowest doc_id per identical text.
+    * Scale: hash-aggregate on xxhash64(text) — one shuffle on the hash
+    * (map-side partial agg), never on the full text bytes. */
+  def exact(docs: DataFrame): DataFrame = {
+    val withH = docs.select(col("doc_id"), xxhash64(col("text")).as("h"))
+    val keep = withH.groupBy(col("h")).agg(min(col("doc_id")).as("keep_id"),
+      count(lit(1)).as("n_copies"))
+    keep
+  }
+
+  /** Exact-dedup survivors (doc_ids to keep). */
+  def exactKeepIds(docs: DataFrame): DataFrame =
+    exact(docs).select(col("keep_id").as("doc_id"), col("n_copies"))
+
+  /** MinHash + LSH near-dup candidate pairs.
+    * Row-local signature (k hashes over w-token shingles) computed inside
+    * the scan projection — NO shuffle; then band keys exploded (b = k/r per
+    * doc) and a self-join on the band bucket. Scale: the shuffle volume is
+    * b longs per doc (not the text), and the join is on high-entropy band
+    * keys so AQE skew-split handles hot buckets. */
+  def minhashCandidates(docs: DataFrame, k: Int = 64, w: Int = 3, r: Int = 4): DataFrame = {
+    val sigs = docs.select(col("doc_id"),
+      lsh_bands(minhash_sig(col("text"), k, w), r).as("bands"))
+    val exploded = sigs.select(col("doc_id"),
+      posexplode(col("bands")).as(Seq("band_idx", "band_key")))
+    val a = exploded.as("a")
+    val b = exploded.as("b")
+    a.join(b,
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_key") === col("b.band_key") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .distinct()
+  }
+
+  /** SimHash near-dup candidates: 64-bit row-local sketch; candidates share
+    * one of four 16-bit chunks (tolerates hamming distance < 4 spread).
+    * Same shuffle shape as minhash, 4 keys per doc. */
+  def simhashCandidates(docs: DataFrame): DataFrame = {
+    val sh = docs.select(col("doc_id"), simhash64(col("text")).as("sh"))
+    val chunks = sh.select(col("doc_id"), col("sh"),
+      explode(array((0 until 4).map(i =>
+        struct(lit(i).as("ci"), shiftright(col("sh"), i * 16).bitwiseAND(lit(0xffffL)).as("ck"))): _*)).as("c"))
+      .select(col("doc_id"), col("sh"), col("c.ci"), col("c.ck"))
+    val a = chunks.as("a"); val b = chunks.as("b")
+    a.join(b, col("a.ci") === col("b.ci") && col("a.ck") === col("b.ck") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+        expr("bit_count(a.sh ^ b.sh)").as("hamming"))
+      .distinct()
+  }
+
+  /** Exact n-gram (w-token shingle) Jaccard between consecutive doc_ids —
+    * SQL-expressible (DuckDB-oracled) set-similarity: explode distinct
+    * shingles, join on doc_id+1, count intersection/union.
+    * Scale: shingle explode shuffles token-level data — this exact variant
+    * is the verification path; the scale path is minhashCandidates. */
+  def ngramJaccardConsecutive(docs: DataFrame, w: Int = 3): DataFrame = {
+    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+      .where(size(col("t")) >= w) // sequence(0, negative) would descend
+    val shingles = toks.select(col("doc_id"),
+      explode(expr(s"array_distinct(transform(sequence(0, size(t)-$w), i -> concat_ws(' ', slice(t, i+1, $w))))")).as("sh"))
+      .where(size(split(col("sh"), " ")) === w)
+    val counts = shingles.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val a = shingles.as("a"); val b = shingles.as("b")
+    val inter = a.join(b, col("b.doc_id") === col("a.doc_id") + 1 && col("a.sh") === col("b.sh"))
+      .groupBy(col("a.doc_id").as("doc_id")).agg(count(lit(1)).as("inter"))
+    val ca = counts.as("ca"); val cb = counts.as("cb")
+    ca.join(cb, col("cb.doc_id") === col("ca.doc_id") + 1)
+      .join(inter, inter("doc_id") === col("ca.doc_id"), "left")
+      .select(col("ca.doc_id").as("doc_id"),
+        coalesce(col("inter"), lit(0L)).as("inter"),
+        (col("ca.n_sh") + col("cb.n_sh") - coalesce(col("inter"), lit(0L))).as("uni"))
+  }
+
+  /** Embedding-cosine near-dup pairs via sign-LSH buckets: row-local bucket
+    * id, self-join within bucket, exact cosine check on candidates only.
+    * Scale: avoids the quadratic all-pairs join; bucket join shuffles one
+    * long + the vector per doc. */
+  def embeddingNearDup(emb: DataFrame, planes: Int = 8, minCos: Double = 0.95): DataFrame = {
+    val b = emb.select(col("vec_id"), col("embedding"),
+      cos_lsh_bucket(col("embedding"), planes, 42L).as("bucket"))
+    val x = b.as("x"); val y = b.as("y")
+    val dot = expr("aggregate(zip_with(x.embedding, y.embedding, (p,q) -> cast(p as double)*cast(q as double)), 0D, (acc,v) -> acc+v)")
+    val nx = expr("sqrt(aggregate(x.embedding, 0D, (acc,v) -> acc + cast(v as double)*cast(v as double)))")
+    val ny = expr("sqrt(aggregate(y.embedding, 0D, (acc,v) -> acc + cast(v as double)*cast(v as double)))")
+    x.join(y, col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("id1"), col("y.vec_id").as("id2"),
+        (dot / (nx * ny)).as("cos"))
+      .where(col("cos") >= minCos)
+  }
+}
+
+object Ann {
+
+  private def dotCol(a: String, b: String): Column =
+    expr(s"aggregate(zip_with($a, $b, (p,q) -> cast(p as double)*cast(q as double)), 0D, (acc,v) -> acc+v)")
+
+  /** Brute-force cosine top-k against one query vector (baseline / recall
+    * oracle). The query vector is a literal broadcast into the scan
+    * projection — single pass, no shuffle except the global top-k, which
+    * Spark executes as per-partition TakeOrdered + driver merge of k rows. */
+  def bruteForceTopK(emb: DataFrame, queryVec: Array[Float], k: Int): DataFrame = {
+    val q = typedLit(queryVec)
+    val dot = dotCol("embedding", "qv")
+    val nx = expr("sqrt(aggregate(embedding, 0D, (acc,v) -> acc + cast(v as double)*cast(v as double)))")
+    val nq = math.sqrt(queryVec.map(x => x.toDouble * x.toDouble).sum)
+    emb.withColumn("qv", q)
+      .select(col("vec_id"), (dot / (nx * lit(nq))).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Integer-quantized dot-product top-k (deterministic across engines:
+    * values are exact integers, so DuckDB can oracle it). */
+  def quantizedTopK(emb: DataFrame, queryVec: Array[Float], k: Int): DataFrame = {
+    val q = typedLit(queryVec.map(x => math.round(x * 1000).toLong))
+    val dot = expr("aggregate(zip_with(embedding, qv, (p,q) -> cast(round(p*1000) as bigint)*q), 0L, (acc,v) -> acc+v)")
+    emb.withColumn("qv", q)
+      .select(col("vec_id"), dot.as("qdot"))
+      .orderBy(col("qdot").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** LSH-bucketed ANN (scale path): probe only the query's sign-LSH bucket
+    * (and optionally 1-bit-flip neighbor buckets). At 100 TB the bucket
+    * column is a partition/cluster key so the scan prunes to ~1/2^planes
+    * of the table. */
+  def lshTopK(emb: DataFrame, queryVec: Array[Float], k: Int,
+              planes: Int = 8, probeBits: Int = 1): DataFrame = {
+    val qBucket = graft.functions.Hashing.cosLshBucket(queryVec, planes, 42L)
+    val probes: Seq[Long] = qBucket +: (if (probeBits >= 1) (0 until planes).map(b => qBucket ^ (1L << b)) else Seq.empty)
+    val q = typedLit(queryVec)
+    val dot = expr("aggregate(zip_with(embedding, qv, (p,q) -> cast(p as double)*cast(q as double)), 0D, (acc,v) -> acc+v)")
+    val nx = expr("sqrt(aggregate(embedding, 0D, (acc,v) -> acc + cast(v as double)*cast(v as double)))")
+    val nq = math.sqrt(queryVec.map(x => x.toDouble * x.toDouble).sum)
+    emb.where(cos_lsh_bucket(col("embedding"), planes, 42L).isin(probes.map(java.lang.Long.valueOf): _*))
+      .withColumn("qv", q)
+      .select(col("vec_id"), (dot / (nx * lit(nq))).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(k)
+  }
+}
+
+object TextStats {
+
+  /** Quality metrics, all integer-valued so an external engine hashes
+    * identically: char count, token count, stopword hits, punctuation
+    * count, longest-token length. Single scan, no shuffle. */
+  def quality(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      length(col("text")).as("n_chars"),
+      size(split(col("text"), " ")).as("n_tokens"),
+      size(filter(split(col("text"), " "),
+        t => t.isin("the", "a", "of", "and", "in"))).as("n_stopwords"),
+      (length(col("text")) - length(regexp_replace(col("text"), "[.,;:!?]", ""))).as("n_punct"),
+      array_max(transform(split(col("text"), " "), t => length(t))).as("max_token_len"))
+
+  /** BPE-ish token counting: whitespace tokens + regex word-piece count. */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(split(col("text"), " ")).as("ws_tokens"),
+      regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).as("bpe_ish_tokens"))
+
+  /** Heuristic language-ID vs the table's `lang` label (accuracy check is
+    * in tests; here we emit predictions). */
+  def langId(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("lang").as("lang_label"),
+      lang_id(col("text")).as("lang_pred"))
+
+  /** 64-bit rolling-hash fingerprints (content-defined identity). */
+  def fingerprints(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), fingerprint64(col("text")).as("fp64"))
+}

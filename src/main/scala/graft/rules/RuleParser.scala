@@ -1,7 +1,6 @@
 package graft.rules
 
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
-import scala.collection.immutable.VectorMap
 import scala.collection.mutable.ArrayBuffer
 import scala.jdk.CollectionConverters._
 
@@ -12,7 +11,7 @@ import scala.jdk.CollectionConverters._
   * `val` strings that contain newlines or runs of spaces.
   *
   * Uses Jackson (ships with Spark). ObjectNode preserves field insertion
-  * order, which we carry into VectorMap (the reference uses IndexMap).
+  * order, which we carry into ordered Vector pairs (the reference uses IndexMap).
   * On parse failure: pushes "Invalid json : <path-aware msg>" and returns
   * the default (empty) rule, exactly like the reference.
   */
@@ -83,12 +82,10 @@ object RuleParser {
       if (!e.isObject) fail(s"$path.edit", "expected an object")
       val attrs = Option(e.get("attrs")).filterNot(_.isNull).map { a =>
         if (!a.isObject) fail(s"$path.edit.attrs", "expected an object")
-        var m = VectorMap.empty[String, EditOp]
-        a.fields().asScala.foreach { ent =>
-          m = m.updated(ent.getKey, parseEditOp(ent.getValue, s"$path.edit.attrs.${ent.getKey}"))
-        }
-        m
-      }.getOrElse(VectorMap.empty[String, EditOp])
+        a.fields().asScala.map { ent =>
+          (ent.getKey, parseEditOp(ent.getValue, s"$path.edit.attrs.${ent.getKey}"))
+        }.toVector
+      }.getOrElse(Vector.empty[(String, EditOp)])
       val content = Option(e.get("content")).filterNot(_.isNull)
         .map(c => parseEditOp(c, s"$path.edit.content"))
       Edit(attrs, content)
@@ -98,11 +95,9 @@ object RuleParser {
       if (!d.isObject) fail(s"$path.data", "expected an object")
       val values = Option(d.get("values")).filterNot(_.isNull).map { v =>
         if (!v.isObject) fail(s"$path.data.values", "expected an object")
-        var m = VectorMap.empty[String, ValueSource]
-        v.fields().asScala.foreach { ent =>
-          m = m.updated(ent.getKey, parseValueSource(ent.getValue, s"$path.data.values.${ent.getKey}"))
-        }
-        m
+        v.fields().asScala.map { ent =>
+          (ent.getKey, parseValueSource(ent.getValue, s"$path.data.values.${ent.getKey}"))
+        }.toVector
       }
       DataDef(optText(d, "path", s"$path.data"), values)
     }

@@ -1,11 +1,11 @@
 package graft.rules
 
-import scala.collection.immutable.VectorMap
-
 /** Rule-tree ADT mirroring the reference's ShadowJson
   * (/root/reference/src/shadow_api/shadow_json.rs:36-67 and
   * shadow_json_schema.json). Field/attr maps must preserve JSON insertion
-  * order (reference uses indexmap::IndexMap) — we use VectorMap.
+  * order (reference uses indexmap::IndexMap) — we use Vector[(K,V)] pairs
+  * (order-preserving AND java-serializable, which VectorMap is not — the
+  * rule program is broadcast to executors).
   */
 sealed trait ValueSource
 object ValueSource {
@@ -23,12 +23,12 @@ object ValueSource {
 final case class EditOp(op: String, value: Option[String], matchPat: Option[String])
 
 final case class Edit(
-    attrs: VectorMap[String, EditOp],
+    attrs: Vector[(String, EditOp)],
     content: Option[EditOp])
 
 final case class DataDef(
     path: Option[String],
-    values: Option[VectorMap[String, ValueSource]])
+    values: Option[Vector[(String, ValueSource)]])
 
 final case class RuleNode(
     s: String,

@@ -1,0 +1,175 @@
+package graft.spark
+
+import graft.core.{Doc, DocOut}
+import graft.engine.{RuleProgram, ShadowEngine}
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.CollectionAccumulator
+
+import java.nio.file.{Files, Paths, StandardOpenOption}
+import scala.collection.mutable.ArrayBuffer
+import scala.jdk.CollectionConverters._
+
+/** One lineage row per task partition (north rule: per-partition lineage +
+  * metrics: partition id, doc range, checksum, timings). */
+final case class LineageRow(
+    partition_id: Int,
+    doc_lo: String,
+    doc_hi: String,
+    n_docs: Long,
+    checksum: Long,
+    wall_ms: Long)
+
+/** Spark wiring for the extraction engine (SURVEY.md §3.5).
+  *
+  * Design for 100 TB / 1000 executors:
+  *  - the compiled RuleProgram is broadcast once; each task builds ONE
+  *    engine instance and streams rows through `mapPartitions` (no
+  *    per-row setup, no driver round-trips, no collect());
+  *  - rows are embarrassingly parallel (all reference state is row-local,
+  *    SURVEY.md §3.4) so no shuffle is needed for processing itself;
+  *    an OPTIONAL salted repartition spreads pathological mega-docs;
+  *  - lineage is gathered with a lightweight accumulator (one row per
+  *    partition, not per doc) — no second pass over the data;
+  *  - resumable writes bucket the output by xxhash64(doc_id)%N with one
+  *    commit marker per bucket: a re-run recomputes only uncommitted
+  *    buckets (sandbox stand-in for Iceberg snapshot commits; the writer
+  *    sits behind this object so a real catalog is a drop-in).
+  */
+object ShadowSpark {
+
+  /** Pure engine application; preserves the input partitioning. */
+  def process(docs: Dataset[Doc], program: RuleProgram): Dataset[DocOut] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(program)
+    docs.mapPartitions { it =>
+      val engine = new ShadowEngine(bc.value)
+      it.map(engine.process)
+    }
+  }
+
+  /** Engine application + per-partition lineage (accumulated driver-side;
+    * one small row per task). Call `lineage.value` after an action. */
+  def processWithLineage(docs: Dataset[Doc], program: RuleProgram)
+      : (Dataset[DocOut], CollectionAccumulator[LineageRow]) = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(program)
+    val acc = spark.sparkContext.collectionAccumulator[LineageRow]("graft_lineage")
+    val out = docs.mapPartitions { it =>
+      val engine = new ShadowEngine(bc.value)
+      val t0 = System.nanoTime()
+      var lo: String = null
+      var hi: String = null
+      var n = 0L
+      var checksum = 0L
+      val mapped = it.map { doc =>
+        val r = engine.process(doc)
+        if (lo == null || doc.doc_id < lo) lo = doc.doc_id
+        if (hi == null || doc.doc_id > hi) hi = doc.doc_id
+        n += 1
+        checksum ^= java.lang.Long.rotateLeft(
+          r.data_json.hashCode.toLong * 0x9e3779b97f4a7c15L + r.spans.length, (n % 63).toInt)
+        r
+      }
+      new Iterator[DocOut] {
+        override def hasNext: Boolean = {
+          val h = mapped.hasNext
+          if (!h && n >= 0) { // partition drained: emit lineage once
+            val pid = TaskContext.getPartitionId()
+            acc.add(LineageRow(pid, Option(lo).getOrElse(""), Option(hi).getOrElse(""),
+              n, checksum, (System.nanoTime() - t0) / 1000000L))
+            n = -1 // guard against double-add on repeated hasNext
+          }
+          h
+        }
+        override def next(): DocOut = mapped.next()
+      }
+    }
+    (out, acc)
+  }
+
+  /** Salted explicit repartition for skewed corpora: hash(doc_id) spreads
+    * mega-docs uniformly; `parallelism` should be ~2-3x the executor-core
+    * count at scale. AQE handles residual imbalance. */
+  def repartitionByDoc(docs: Dataset[Doc], parallelism: Int): Dataset[Doc] =
+    docs.repartition(parallelism, xxhash64(col("doc_id")))
+
+  // ---------------- resumable bucketed writer ----------------
+
+  def bucketOf(nBuckets: Int) = pmod(xxhash64(col("doc_id")), lit(nBuckets))
+
+  private def markerDir(path: String) = Paths.get(path, "_graft_committed")
+
+  def committedBuckets(path: String): Set[Int] = {
+    val dir = markerDir(path)
+    if (!Files.isDirectory(dir)) Set.empty
+    else Files.list(dir).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.startsWith("bucket-") => s.stripPrefix("bucket-").toInt }
+      .toSet
+  }
+
+  /** Write DocOut rows partitioned into `nBuckets` doc-hash buckets with a
+    * commit marker per bucket. On re-run after a failure, committed buckets
+    * are skipped (their input rows are filtered out BEFORE the engine runs,
+    * so no recompute) and only missing buckets are (re)written via dynamic
+    * partition overwrite. Returns the buckets written this run.
+    *
+    * At real scale the input table would be Iceberg-partitioned by the same
+    * bucket expression, so the resume filter prunes input partitions rather
+    * than scanning them (documented deviation: no Iceberg jar in sandbox —
+    * SURVEY.md §7.0).
+    */
+  def writeResumable(
+      docs: Dataset[Doc],
+      program: RuleProgram,
+      path: String,
+      nBuckets: Int = 64): Seq[Int] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val done = committedBuckets(path)
+    val todo = (0 until nBuckets).filterNot(done.contains)
+    if (todo.isEmpty) return Seq.empty
+
+    val remaining =
+      if (done.isEmpty) docs
+      else docs.where(!bucketOf(nBuckets).isin(done.toSeq.map(Integer.valueOf): _*))
+
+    val out = process(remaining, program)
+      .withColumn("bucket", bucketOf(nBuckets))
+
+    val prevMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      out.write
+        .mode(SaveMode.Overwrite)
+        .partitionBy("bucket")
+        .parquet(path)
+    } finally {
+      prevMode match {
+        case Some(m) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", m)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+
+    // commit markers, one per bucket written this run
+    Files.createDirectories(markerDir(path))
+    todo.foreach { b =>
+      Files.write(markerDir(path).resolve(s"bucket-$b"),
+        s"""{"bucket":$b}""".getBytes("UTF-8"),
+        StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    }
+    todo
+  }
+
+  /** Write the collected lineage rows as a metrics side table. */
+  def writeLineage(spark: SparkSession, rows: java.util.List[LineageRow], path: String): Unit = {
+    import spark.implicits._
+    val buf = new ArrayBuffer[LineageRow](rows.size())
+    rows.iterator().asScala.foreach(buf += _)
+    buf.toSeq.toDS().coalesce(1).write.mode(SaveMode.Overwrite).parquet(path)
+  }
+}
