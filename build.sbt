@@ -27,4 +27,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Fixed, pre-touched heap + throughput GC: this sandbox's microVM makes
+  // first-touch page faults extremely expensive and variable; without
+  // pre-touch, heap growth/uncommit churn dominates allocation-heavy runs
+  // (measured 0.05 GB/s vs 5 GB/s single-thread allocation).
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  "-XX:+AlwaysPreTouch",
+  "-XX:+UseParallelGC",
 )

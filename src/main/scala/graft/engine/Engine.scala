@@ -112,9 +112,29 @@ object RuleCompiler {
 final class ShadowEngine(program: RuleProgram) extends Serializable {
 
   @transient private lazy val regexCache = new mutable.HashMap[String, Pattern]
+  /** tag/attr-name intern pool, reused across all docs of this task */
+  @transient private lazy val namePool = new graft.html.NamePool
 
   private val config = program.config
   private val rules = program.rules
+
+  /** Rules bucketed by the rightmost compound's tag: per element only the
+    * rules that could possibly match its tag are evaluated (plus the
+    * tag-less "wildcard" rules), merged in ech registration order. */
+  @transient private lazy val (rulesByTag, wildcardRules): (java.util.HashMap[String, Array[Int]], Array[Int]) = {
+    val byTag = new mutable.HashMap[String, ArrayBuffer[Int]]
+    val wild = new ArrayBuffer[Int]
+    rules.zipWithIndex.foreach { case (r, i) =>
+      SelectorMatcher.rightmostTags(r.selector) match {
+        case Some(tags) => tags.distinct.foreach(t => byTag.getOrElseUpdate(t, new ArrayBuffer[Int]) += i)
+        case None => wild += i
+      }
+    }
+    val jm = new java.util.HashMap[String, Array[Int]]
+    byTag.foreach { case (t, b) => jm.put(t, b.toArray) }
+    (jm, wild.toArray)
+  }
+  private val noRules = new Array[Int](0)
 
   def process(doc: Doc): DocOut = {
     val errors = new ArrayBuffer[String]
@@ -134,7 +154,14 @@ final class ShadowEngine(program: RuleProgram) extends Serializable {
 
   private def processInternal(doc: Doc, errors: ArrayBuffer[String]): DocOut = {
     // ---- assemble the byte stream + media markers ----
-    val ordered = doc.spans.sortBy(_.offset)
+    val ordered = doc.spans match {
+      case sp: scala.collection.IndexedSeq[Span] =>
+        // skip the sort allocation when spans are already in offset order
+        var sorted = true; var i = 1
+        while (i < sp.length && sorted) { if (sp(i).offset < sp(i - 1).offset) sorted = false; i += 1 }
+        if (sorted) sp else sp.sortBy(_.offset)
+      case sp => sp.sortBy(_.offset)
+    }
     val sb = new java.lang.StringBuilder
     val markers = new ArrayBuffer[HtmlParser.MediaMarker]
     ordered.foreach { sp =>
@@ -142,7 +169,7 @@ final class ShadowEngine(program: RuleProgram) extends Serializable {
         markers += HtmlParser.MediaMarker(sb.length, sp.media_ref, sp.text)
       else sb.append(sp.text)
     }
-    val a = HtmlParser.parse(sb.toString, markers.toSeq)
+    val a = HtmlParser.parse(sb.toString, markers.toSeq, namePool)
 
     // ---- mutation overlay ----
     val removed = new Array[Boolean](a.size)
@@ -198,7 +225,7 @@ final class ShadowEngine(program: RuleProgram) extends Serializable {
         // exists (shadow_api.rs:373-377 mutates an owned copy)
         if (r.hide) {
           val ov = attrsOf(el)
-          if (ov.get("style") == null) ov.set("style", "display: none")
+          if (!ov.has("style")) ov.set("style", "display: none")
         }
         r.edit.foreach { edit =>
           edit.attrs.foreach { case (key, op) =>
@@ -278,14 +305,14 @@ final class ShadowEngine(program: RuleProgram) extends Serializable {
           val inputType = ov.get("type")
           if (inputType != null) inputType match {
             case "radio" =>
-              if (ov.get("checked") != null)
+              if (ov.has("checked"))
                 dataItem.set(key, DNode.newString(ruleId, dataItem, Option(ov.get("value")).getOrElse("")))
               else if (dataItem.get(key).isEmpty)
                 dataItem.set(key, DNode.newString(ruleId, dataItem, ""))
             case "checkbox" =>
               if (dataItem.get(key).isEmpty)
                 dataItem.set(key, DNode.newArray(ruleId, dataItem))
-              if (ov.get("checked") != null)
+              if (ov.has("checked"))
                 dataItem.get(key).foreach(_.push(
                   DNode.newString(ruleId, dataItem, Option(ov.get("value")).getOrElse(""))))
             case _ =>
@@ -303,7 +330,7 @@ final class ShadowEngine(program: RuleProgram) extends Serializable {
       val rule = rules(ruleIdx)
       val r = rule.node
       val buf = textBuffers.getOrElseUpdate(ruleIdx, new java.lang.StringBuilder)
-      buf.append(a.raw(chunk))
+      buf.append(a.src, a.rawS(chunk), a.rawE(chunk))
       chunkRemoved(chunk) = true
       if (a.lastInTextNode(chunk)) {
         var content = buf.toString
@@ -340,39 +367,67 @@ final class ShadowEngine(program: RuleProgram) extends Serializable {
     }
 
     // ---- document-order traversal replaying lol_html handler dispatch ----
+    val scratchRules = new ArrayBuffer[Int](8) // reused per text node
     def walk(node: Int): Unit = {
       a.kind(node) match {
         case a.nElem =>
-          val endActions = new ArrayBuffer[() => Unit](2)
+          var endActions: ArrayBuffer[() => Unit] = null // lazy: most elements match nothing
+          def actions(): ArrayBuffer[() => Unit] = {
+            if (endActions == null) endActions = new ArrayBuffer[() => Unit](2)
+            endActions
+          }
           val textMark = activeTextRules.length
-          var ri = 0
-          while (ri < rules.length) {
+          val tagged = { val t = rulesByTag.get(a.name(node)); if (t == null) noRules else t }
+          var i = 0; var j = 0
+          while (i < tagged.length || j < wildcardRules.length) {
+            val ri =
+              if (j >= wildcardRules.length || (i < tagged.length && tagged(i) < wildcardRules(j))) {
+                i += 1; tagged(i - 1)
+              } else { j += 1; wildcardRules(j - 1) }
             val rule = rules(ri)
-            if ((rule.useElementHandler || rule.useTextHandler) &&
-                SelectorMatcher.matches(a, node, rule.selector)) {
-              if (rule.useElementHandler) elementHandler(rule, node, endActions)
+            if (SelectorMatcher.matches(a, node, rule.selector)) {
+              if (rule.useElementHandler) elementHandler(rule, node, actions())
               if (rule.useTextHandler) activeTextRules += ri
             }
-            ri += 1
           }
           // data injection registered last (data_content_handler appended
           // after all user rules — shadow_api.rs:153-161,690-712)
-          if (a.name(node) == "body" && !config.asJson && a.hasEndTag(node)) {
+          if (!config.asJson && a.hasEndTag(node) && a.name(node) == "body") {
             val bodyNode = node
-            endActions += { () =>
+            actions() += { () =>
               dataInjection(bodyNode) = config.dataFormatter(DNode.toJson(cursor.root, config.strictJsonEscape))
             }
           }
           var c = a.firstChild(node)
           while (c != -1) { walk(c); c = a.nextSibling(c) }
           activeTextRules.dropRightInPlace(activeTextRules.length - textMark)
-          if (a.hasEndTag(node)) endActions.foreach(_.apply())
+          if (endActions != null && a.hasEndTag(node)) endActions.foreach(_.apply())
         case a.nText =>
-          if (activeTextRules.nonEmpty) {
-            // fire in ech order, once per rule (buffers are per-rule)
-            val distinct = activeTextRules.distinct.sorted
+          val len = activeTextRules.length
+          if (len == 1) textHandler(activeTextRules(0), node)
+          else if (len > 1) {
+            // fire in ech order, once per rule (buffers are per-rule);
+            // allocation-free dedup+sort into a reused scratch buffer
+            scratchRules.clear()
             var i = 0
-            while (i < distinct.length) { textHandler(distinct(i), node); i += 1 }
+            while (i < len) {
+              val r = activeTextRules(i)
+              var dup = false
+              var d = 0
+              while (d < scratchRules.length && !dup) { dup = scratchRules(d) == r; d += 1 }
+              if (!dup) {
+                // insertion keeping ascending order
+                var k = scratchRules.length
+                scratchRules += r
+                while (k > 0 && scratchRules(k - 1) > r) {
+                  scratchRules(k) = scratchRules(k - 1); k -= 1
+                }
+                scratchRules(k) = r
+              }
+              i += 1
+            }
+            i = 0
+            while (i < scratchRules.length) { textHandler(scratchRules(i), node); i += 1 }
           }
         case _ => // raw/media/root: nothing to do
           var c = a.firstChild(node)
@@ -392,7 +447,7 @@ final class ShadowEngine(program: RuleProgram) extends Serializable {
     def emitMediaOnly(node: Int): Unit = {
       if (a.kind(node) == a.nMedia) {
         flushHtml()
-        outSpans += Span(SpanKinds.Media, a.raw(node), a.name(node), outSpans.length)
+        outSpans += Span(SpanKinds.Media, a.mediaText(a.rawS(node)), a.name(node), outSpans.length)
       }
       var c = a.firstChild(node)
       while (c != -1) { emitMediaOnly(c); c = a.nextSibling(c) }
@@ -426,27 +481,27 @@ final class ShadowEngine(program: RuleProgram) extends Serializable {
               flushHtml()
               outSpans += Span(SpanKinds.Data, dataInjection(node), "", outSpans.length)
             }
-            hb.append(a.rawEnd(node))
+            hb.append(a.src, a.rawEndS(node), a.rawEndE(node))
           }
         }
         emitList(afterL(node))
       case a.nText =>
         if (chunkReplacement(node) != null) hb.append(chunkReplacement(node))
-        else if (!chunkRemoved(node)) hb.append(a.raw(node))
+        else if (!chunkRemoved(node)) hb.append(a.src, a.rawS(node), a.rawE(node))
       case a.nRaw =>
-        hb.append(a.raw(node))
+        hb.append(a.src, a.rawS(node), a.rawE(node))
       case a.nMedia =>
         flushHtml()
-        outSpans += Span(SpanKinds.Media, a.raw(node), a.name(node), outSpans.length)
+        outSpans += Span(SpanKinds.Media, a.mediaText(a.rawS(node)), a.name(node), outSpans.length)
     }
 
     def emitStartTag(node: Int): Unit = {
       val ov = attrOverlay(node)
-      if (ov == null || !ov.dirty) hb.append(a.raw(node))
+      if (ov == null || !ov.dirty) hb.append(a.src, a.rawS(node), a.rawE(node))
       else {
-        hb.append('<').append(a.tagRawName(node))
+        hb.append('<').append(a.src, a.tagNameS(node), a.tagNameE(node))
         ov.emit(hb)
-        hb.append(a.tagTrailing(node))
+        hb.append(a.src, a.trailS(node), a.trailE(node))
       }
     }
 
@@ -564,8 +619,8 @@ final class ShadowEngine(program: RuleProgram) extends Serializable {
 }
 
 /** Lazily materialized logical attribute list with edit tracking; preserves
-  * original bytes for untouched attrs, rebuilds minimally for edited ones
-  * (lol_html patches tags in place; byte-fidelity for unmutated markup). */
+  * original bytes for untouched attrs (region emit, zero copies), rebuilds
+  * minimally for edited ones. */
 final class AttrOverlay(a: Arena, el: Int) {
   // states
   private final val SKeep = 0; private final val SEdited = 1
@@ -573,10 +628,12 @@ final class AttrOverlay(a: Arena, el: Int) {
   /** HTML5 duplicate attr: logically invisible, bytes preserved */
   private final val SDup = 4
 
-  private val origIdx = new ArrayBuffer[Int]
-  private val names = new ArrayBuffer[String]
-  private val values = new ArrayBuffer[String]
-  private val states = new ArrayBuffer[Int]
+  private val n0 = a.attrEnd(el) - a.attrStart(el)
+  private val origIdx = new ArrayBuffer[Int](n0 + 2)
+  private val names = new ArrayBuffer[String](n0 + 2)
+  /** edited/added value; null while untouched (read through the arena) */
+  private val values = new ArrayBuffer[String](n0 + 2)
+  private val states = new ArrayBuffer[Int](n0 + 2)
   var dirty = false
 
   {
@@ -584,44 +641,52 @@ final class AttrOverlay(a: Arena, el: Int) {
     while (i < a.attrEnd(el)) {
       origIdx += i
       names += a.attrName(i)
-      values += a.attrValue(i)
+      values += null
       states += (if (a.attrDup(i)) SDup else SKeep)
       i += 1
     }
   }
 
-  def get(name: String): String = {
+  private def findIdx(name: String): Int = {
     val lower = name.toLowerCase(java.util.Locale.ROOT)
     var i = 0
     while (i < names.length) {
-      if (names(i) == lower && states(i) != SRemoved && states(i) != SDup) return values(i)
+      if (states(i) != SRemoved && states(i) != SDup &&
+          ((names(i) eq lower) || names(i) == lower)) return i
       i += 1
     }
-    null
+    -1
+  }
+
+  def has(name: String): Boolean = findIdx(name) >= 0
+
+  /** current value (materializes from the source when untouched) or null */
+  def get(name: String): String = {
+    val i = findIdx(name)
+    if (i < 0) null
+    else if (values(i) != null) values(i)
+    else a.attrValue(origIdx(i))
   }
 
   def set(name: String, v: String): Unit = {
-    val lower = name.toLowerCase(java.util.Locale.ROOT)
-    var i = 0
-    while (i < names.length) {
-      if (names(i) == lower && states(i) != SRemoved && states(i) != SDup) {
-        values(i) = v
-        if (states(i) == SKeep) states(i) = SEdited
-        dirty = true
-        return
-      }
-      i += 1
+    val i = findIdx(name)
+    if (i >= 0) {
+      values(i) = v
+      if (states(i) == SKeep) states(i) = SEdited
+      dirty = true
+    } else {
+      origIdx += -1; names += name.toLowerCase(java.util.Locale.ROOT)
+      values += v; states += SAdded
+      dirty = true
     }
-    origIdx += -1; names += lower; values += v; states += SAdded
-    dirty = true
   }
 
   def remove(name: String): Unit = {
     val lower = name.toLowerCase(java.util.Locale.ROOT)
     var i = 0
     while (i < names.length) {
-      if (names(i) == lower && states(i) != SDup) {
-        if (states(i) != SRemoved) { states(i) = SRemoved; dirty = true }
+      if (states(i) != SDup && states(i) != SRemoved && names(i) == lower) {
+        states(i) = SRemoved; dirty = true
       }
       i += 1
     }
@@ -632,10 +697,14 @@ final class AttrOverlay(a: Arena, el: Int) {
     while (i < names.length) {
       states(i) match {
         case SKeep | SDup =>
-          hb.append(a.attrPreRaw(origIdx(i))).append(a.attrRaw(origIdx(i)))
+          val oi = origIdx(i)
+          hb.append(a.src, a.attrPreS(oi), a.attrPreE(oi))
+          hb.append(a.src, a.attrRawS(oi), a.attrRawE(oi))
         case SEdited =>
-          hb.append(a.attrPreRaw(origIdx(i))).append(a.attrNameRaw(origIdx(i)))
-            .append("=\"")
+          val oi = origIdx(i)
+          hb.append(a.src, a.attrPreS(oi), a.attrPreE(oi))
+          hb.append(a.src, a.attrNameRawS(oi), a.attrNameRawE(oi))
+          hb.append("=\"")
           appendAttrEscaped(hb, values(i))
           hb.append('"')
         case SAdded =>
