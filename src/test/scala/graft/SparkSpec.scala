@@ -1,0 +1,205 @@
+package graft
+
+import graft.core.{Doc, DocOut}
+import graft.corpus.Corpus
+import graft.engine.RuleCompiler
+import graft.pipeline.{Dedup, Multimodal, TextStats}
+import graft.rules.RuleParser
+import graft.spark.ShadowSpark
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.{Files, Path}
+import scala.collection.mutable.ArrayBuffer
+import scala.jdk.CollectionConverters._
+
+class SparkSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", 4)
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  def program = {
+    val errs = new ArrayBuffer[String]
+    val p = RuleCompiler.compile(Seq(
+      RuleParser.parseStr(Corpus.headRules, errs),
+      RuleParser.parseStr(Corpus.corpusRules, errs)))
+    assert(errs.isEmpty && p.compileErrors.isEmpty)
+    p
+  }
+
+  def tmpDir(prefix: String): Path = {
+    val p = Files.createTempDirectory(prefix)
+    p.toFile.deleteOnExit()
+    p
+  }
+
+  test("processColumnar matches typed process exactly") {
+    val docs = Corpus.generate(spark, 300, 4, megaEvery = 97)
+    val typed = ShadowSpark.process(docs, program).collect().sortBy(_.doc_id)
+    val fast = ShadowSpark.processColumnar(docs.toDF(), program).collect().sortBy(_.doc_id)
+    assert(typed.length == 300 && fast.length == 300)
+    assert(typed.toSeq == fast.toSeq)
+  }
+
+  test("parallelism invariance: local partitioning does not change results") {
+    val one = ShadowSpark.process(Corpus.generate(spark, 200, 1), program)
+      .collect().sortBy(_.doc_id).toSeq
+    val many = ShadowSpark.process(Corpus.generate(spark, 200, 7), program)
+      .collect().sortBy(_.doc_id).toSeq
+    assert(one == many)
+  }
+
+  test("lineage: one row per partition, counts and ranges add up") {
+    val docs = Corpus.generate(spark, 500, 5)
+    val (out, acc) = ShadowSpark.processWithLineage(docs, program)
+    val n = out.count()
+    assert(n == 500)
+    val rows = acc.value.asScala.toSeq
+    assert(rows.size == 5, s"expected 5 lineage rows, got ${rows.size}")
+    assert(rows.map(_.n_docs).sum == 500)
+    assert(rows.forall(r => r.doc_lo <= r.doc_hi))
+    assert(rows.map(_.partition_id).distinct.size == 5)
+    assert(rows.forall(_.wall_ms >= 0))
+    // checksum must be deterministic across runs
+    val (out2, acc2) = ShadowSpark.processWithLineage(docs, program)
+    out2.count()
+    val sums1 = rows.map(r => r.partition_id -> r.checksum).toMap
+    val sums2 = acc2.value.asScala.map(r => r.partition_id -> r.checksum).toMap
+    assert(sums1 == sums2)
+  }
+
+  test("resumable writer: rerun recomputes only uncommitted buckets, output identical") {
+    val docs = Corpus.generate(spark, 400, 4)
+    val nBuckets = 8
+
+    // reference output: one clean full run
+    val refPath = tmpDir("graft_ref").toString
+    val wrote = ShadowSpark.writeResumable(docs, program, refPath, nBuckets)
+    assert(wrote.sorted == (0 until nBuckets))
+    val reference = spark.read.parquet(refPath).drop("bucket")
+      .as[DocOut].collect().sortBy(_.doc_id).toSeq
+
+    // simulated failure: full write, then delete markers+data for 3 buckets
+    val crashPath = tmpDir("graft_crash").toString
+    ShadowSpark.writeResumable(docs, program, crashPath, nBuckets)
+    val lost = Seq(1, 4, 6)
+    lost.foreach { b =>
+      Files.delete(java.nio.file.Paths.get(crashPath, "_graft_committed", s"bucket-$b"))
+      val dir = java.nio.file.Paths.get(crashPath, s"bucket=$b")
+      Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    }
+    assert(ShadowSpark.committedBuckets(crashPath).size == nBuckets - lost.size)
+
+    // resume: must write exactly the lost buckets
+    val rewrote = ShadowSpark.writeResumable(docs, program, crashPath, nBuckets)
+    assert(rewrote.sorted == lost)
+    val resumed = spark.read.parquet(crashPath).drop("bucket")
+      .as[DocOut].collect().sortBy(_.doc_id).toSeq
+    assert(resumed == reference)
+
+    // fully committed -> nothing to do
+    assert(ShadowSpark.writeResumable(docs, program, crashPath, nBuckets).isEmpty)
+  }
+
+  // ---- training-pipeline operators ----
+
+  def plantedDocs: org.apache.spark.sql.DataFrame = {
+    // 40 base docs of 30 tokens; docs 100+i are near-dups of doc i (one
+    // token changed); doc 200 is an exact dup of doc 0
+    def text(i: Int, mutate: Boolean): String = {
+      val toks = (0 until 30).map(k => s"w${Corpus.splitmix64(i * 31 + k) % 50}")
+      val t2 = if (mutate) toks.updated(15, "MUTANT") else toks
+      t2.mkString(" ")
+    }
+    val rows =
+      (0 until 40).map(i => (i.toLong, text(i, mutate = false))) ++
+      (0 until 10).map(i => (100L + i, text(i, mutate = true))) ++
+      Seq((200L, text(0, mutate = false)))
+    rows.toDF("doc_id", "text")
+  }
+
+  test("dd1: exact dedup finds the planted exact duplicate") {
+    val keep = Dedup.exactKeepIds(plantedDocs).collect()
+    assert(keep.length == 50) // 51 docs, one exact dup collapsed
+    val dup = keep.find(_.getLong(1) == 2L)
+    assert(dup.isDefined && dup.get.getLong(0) == 0L) // min doc_id kept
+  }
+
+  test("dd2: minhash LSH finds planted near-dups") {
+    val pairs = Dedup.minhashCandidates(plantedDocs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every near-dup pair (i, 100+i) must be a candidate
+    (0 until 10).foreach { i =>
+      assert(pairs.contains((i.toLong, 100L + i)), s"missing near-dup pair $i")
+    }
+    // exact dup too
+    assert(pairs.contains((0L, 200L)))
+  }
+
+  test("dd3: simhash hamming distance small for near-dups") {
+    val pairs = Dedup.simhashCandidates(plantedDocs)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2).toLong)).toMap
+    val nd = pairs.filter { case ((a, b), _) => b == a + 100 }
+    assert(nd.nonEmpty, "no near-dup pairs found by simhash")
+    assert(nd.values.forall(_ <= 16), s"hamming too large: $nd")
+    assert(pairs.get((0L, 200L)).contains(0L)) // identical text -> distance 0
+  }
+
+  test("dd5/ann: embedding near-dup and LSH top-k include planted neighbors") {
+    val base = (0 until 30).map { i =>
+      val v = (0 until 16).map(k =>
+        (Corpus.splitmix64(i * 7 + k).toDouble / Long.MaxValue).toFloat).toArray
+      (i.toLong, v)
+    }
+    // vec 100: near-copy of vec 0
+    val near = (100L, base(0)._2.clone())
+    near._2(3) = near._2(3) + 0.001f
+    val emb = (base :+ near).toDF("vec_id", "embedding")
+    val nd = Dedup.embeddingNearDup(emb, planes = 4, minCos = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(nd.contains((0L, 100L)))
+    val top = graft.pipeline.Ann.bruteForceTopK(emb, base(0)._2, 2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(top.take(2).toSet == Set(0L, 100L))
+  }
+
+  test("tx1: language-ID heuristic on real-language samples") {
+    import graft.functions.Hashing
+    assert(Hashing.langId("the cat sat on the mat and it was happy") == "en")
+    assert(Hashing.langId("der hund ist nicht mit der katze und das ist gut") == "de")
+    assert(Hashing.langId("le chat est dans la maison et il est content") == "fr")
+    assert(Hashing.langId("el perro es un animal y la casa es grande") == "es")
+    assert(Hashing.langId("我是一个人这是我的家") == "zh")
+  }
+
+  test("tx4: fingerprints equal iff text equal (on planted corpus)") {
+    val fp = TextStats.fingerprints(plantedDocs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(0L) == fp(200L))
+    assert(fp(0L) != fp(100L))
+    assert(fp.values.toSeq.distinct.size == 50)
+  }
+
+  test("mm1: media decode stub plumbing") {
+    val meta = Multimodal.decodeAll(Multimodal.mediaTable(
+      Seq((1L, "hello world")).toDF("doc_id", "text"))).collect().head
+    assert(meta.getAs[Long]("n_bytes") == 11L)
+    assert(meta.getAs[Int]("width") == 16 + 11 % 64)
+    assert(meta.getAs[Int]("n_frames") == 1 + 11 % 7)
+    assert(meta.getAs[scala.collection.Seq[Float]]("feature").length == 8)
+  }
+
+  test("entry() smoke: flagship query returns clean rows") {
+    val df = SparkEntry.entry(spark)
+    val rows = df.collect()
+    assert(rows.length == 200)
+    assert(rows.forall(_.getAs[Int]("n_errors") == 0))
+  }
+}
