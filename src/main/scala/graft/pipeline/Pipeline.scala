@@ -37,8 +37,13 @@ object Dedup {
   def minhashCandidates(docs: DataFrame, k: Int = 64, w: Int = 3, r: Int = 4): DataFrame = {
     val sigs = docs.select(col("doc_id"),
       lsh_bands(minhash_sig(col("text"), k, w), r).as("bands"))
+    // posexplode_outer: the non-outer generator adds a `size(bands)>0`
+    // pre-filter that gets pushed into the scan and recomputes the minhash
+    // expression 3x per row; bands are never empty, so outer + a cheap
+    // post-filter on the generated column keeps ONE minhash eval per row
     val exploded = sigs.select(col("doc_id"),
-      posexplode(col("bands")).as(Seq("band_idx", "band_key")))
+      posexplode_outer(col("bands")).as(Seq("band_idx", "band_key")))
+      .where(col("band_key").isNotNull)
     val a = exploded.as("a")
     val b = exploded.as("b")
     a.join(b,

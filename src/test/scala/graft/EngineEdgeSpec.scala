@@ -210,4 +210,15 @@ class EngineEdgeSpec extends AnyFunSuite {
     assert(html == """<div class="x y" a="2">Z</div>""")
     assert(json == """{"d":{"a":"2"}}""")
   }
+
+  test("E9: post-hoc transform over collected data values (shadow_data.rs:251-269)") {
+    val r = DNode.newObject(0, null)
+    r.set("a", DNode.newString(1, r, "xAy"))
+    val arr = DNode.newArray(1, r)
+    arr.push(DNode.newString(1, arr, "AA"))
+    r.set("l", arr)
+    r.transformStrings(_.replace("A", "B"))
+    // values transformed, keys untouched (reference cannot change keys)
+    assert(DNode.toJson(r) == """{"a":"xBy","l":["BB"]}""")
+  }
 }
