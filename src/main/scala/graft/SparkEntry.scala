@@ -386,7 +386,43 @@ object SparkEntry {
 
     // ---- multimodal plumbing ----
     "mm1_media_meta" -> ((s, dir) =>
-      Multimodal.metaForOracle(Multimodal.mediaTable(documents(s, dir))).orderBy("doc_id"))
+      Multimodal.metaForOracle(Multimodal.mediaTable(documents(s, dir))).orderBy("doc_id")),
+    "mm2_pdf_layout_route" -> ((s, dir) =>
+      Multimodal.routeAndParse(
+        documents(s, dir).select(col("doc_id"),
+          concat(lit("media://"), col("doc_id"),
+            when(pmod(col("doc_id"), lit(3)) === 0, lit(".pdf")).otherwise(lit(".jpg"))).as("media_ref"),
+          encode(col("text"), "UTF-8").as("content")))
+        .orderBy("doc_id")),
+
+    // ---- boilerplate main-content extraction (north-star branch) ----
+    "bp1_main_content" -> ((s, dir) => {
+      import s.implicits._
+      val input = documents(s, dir)
+        .select(col("doc_id").cast("string").as("doc_id"),
+          tplCol(Seq(
+            L("<html><body><div class=\"nav\"><a href=\"/a\">home</a> <a href=\"/b\">about</a></div><p>"),
+            fText,
+            L("</p><div class=\"footer\"><a href=\"/c\">contact us now</a></div></body></html>"))).as("h"))
+        .as[(String, String)]
+      input.mapPartitions { it =>
+        val pool = new graft.html.NamePool
+        it.map { case (id, h) =>
+          (id, graft.engine.Boilerplate.mainContentSpans(h, pool).map(_.text).mkString("\n"))
+        }
+      }.toDF("doc_id", "content").orderBy("doc_id")
+    }),
+    "bp2_main_content_corpus" -> ((s, dir) => {
+      import s.implicits._
+      Corpus.generate(s, 500, 8).mapPartitions { it =>
+        val pool = new graft.html.NamePool
+        it.map { d =>
+          val html = d.spans.filter(_.kind == SpanKinds.Html).map(_.text).mkString
+          val spans = graft.engine.Boilerplate.mainContentSpans(html, pool)
+          (d.doc_id, spans.length, spans.map(_.text.length).sum)
+        }
+      }.toDF("doc_id", "n_content_blocks", "content_chars").orderBy("doc_id")
+    })
   )
 
   private def firstEmbedding(s: SparkSession, dir: String): Array[Float] =
@@ -505,6 +541,21 @@ object SparkEntry {
     "tx3_token_counts" ->
       ("SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens, " +
         "CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) AS bpe_ish_tokens " +
+        "FROM documents ORDER BY 1"),
+    // the nav block has link density 1.0 (boilerplate); the <p> follows a
+    // high-link-density block, so per the NumWordsRules tree it is content
+    // iff it has > 40 words (the footer "next" block has only 3)
+    "bp1_main_content" ->
+      ("SELECT CAST(doc_id AS VARCHAR) AS doc_id, " +
+        "CASE WHEN len(string_split(text, ' ')) > 40 THEN text ELSE '' END AS content " +
+        "FROM documents ORDER BY 1"),
+    "mm2_pdf_layout_route" ->
+      ("SELECT doc_id, 'media://' || CAST(doc_id AS VARCHAR) || " +
+        "CASE WHEN doc_id % 3 = 0 THEN '.pdf' ELSE '.jpg' END AS media_ref, " +
+        "CASE WHEN doc_id % 3 = 0 THEN 'pdf_layout' ELSE 'image' END AS branch, " +
+        "CAST(CASE WHEN doc_id % 3 = 0 THEN 1 + octet_length(encode(text)) % 5 ELSE 0 END AS INT) AS n_pages, " +
+        "CAST(CASE WHEN doc_id % 3 = 0 THEN 0 ELSE 16 + octet_length(encode(text)) % 64 END AS INT) AS width, " +
+        "CAST(CASE WHEN doc_id % 3 = 0 THEN 0 ELSE 16 + octet_length(encode(text)) % 48 END AS INT) AS height " +
         "FROM documents ORDER BY 1"),
     "mm1_media_meta" ->
       ("SELECT doc_id, 'media://' || CAST(doc_id AS VARCHAR) AS media_ref, " +

@@ -65,4 +65,29 @@ object Multimodal {
   def metaForOracle(media: DataFrame): DataFrame =
     decodeAll(media).select(col("doc_id"), col("media_ref"),
       col("n_bytes"), col("width"), col("height"), col("n_frames"))
+
+  final case class RoutedMeta(
+      doc_id: Long, media_ref: String, branch: String,
+      n_pages: Int, width: Int, height: Int)
+
+  /** Media-branch routing on media_ref (the north-rule "PDF/layout branch"):
+    * *.pdf payloads go to the layout-parse stub (page count), images to the
+    * dimension stub, anything else passes through untouched. The routing,
+    * schema and batching are real; the parsers are deterministic STUBS
+    * (no PDF/image libs in this sandbox). */
+  def routeAndParse(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { it =>
+      it.map { r =>
+        val n = r.content.length
+        if (r.media_ref.endsWith(".pdf"))
+          RoutedMeta(r.doc_id, r.media_ref, "pdf_layout", 1 + n % 5, 0, 0)
+        else if (r.media_ref.endsWith(".jpg") || r.media_ref.endsWith(".png"))
+          RoutedMeta(r.doc_id, r.media_ref, "image", 0, 16 + n % 64, 16 + n % 48)
+        else
+          RoutedMeta(r.doc_id, r.media_ref, "passthrough", 0, 0, 0)
+      }
+    }.toDF()
+  }
 }
