@@ -90,8 +90,10 @@ object Bench {
     }
     val best8 = pairs.map(_._1).min
     val best32 = pairs.map(_._2).min
-    val pairEff = pairs.map { case (w8, w32) => (w8 / w32) / 4.0 }
-    val efficiency = pairEff.max
+    // conservative statistic: ratio of BEST walls on each side (a per-pair
+    // max can pair a host-noise-slowed 8-run with a fast 32-run and report
+    // implausible >1 efficiencies)
+    val efficiency = (best8 / best32) / 4.0
     val dps8 = nDocs / best8
     val dps32 = nDocs / best32
 
@@ -117,9 +119,9 @@ object Bench {
          |authoritative target is the north rule's scaling criterion —
          |evidenced by the SAME job on the SAME input at local[8] vs local[32]
          |(no real cluster in this sandbox). Host-noise protocol: 8/32 runs
-         |interleaved in time, $rounds pairs, best pair reported (this host
-         |shows 2x throughput swings minute-to-minute; 8-thread runs are
-         |stable, wide runs absorb the noise).
+         |interleaved in time, $rounds pairs, best wall on each side reported
+         |(this host shows 2x throughput swings minute-to-minute; 8-thread
+         |runs are mostly stable, wide runs absorb the noise).
          |
          || metric | value |
          ||---|---|
@@ -129,20 +131,20 @@ object Bench {
          || docs/sec local[8] | $dps8%.1f |
          || docs/sec local[32] | $dps32%.1f |
          || wall pairs (8s,32s) | $pairsStr |
-         || scaling efficiency, best pair (w8/w32)/4 | $efficiency%.3f (target >= 0.8) |
+         || scaling efficiency (best8/best32)/4 | $efficiency%.3f (target >= 0.8) |
          |
          |Calibration: this host's PURE-CPU 8->32-thread JVM scaling measures
          |3.2-3.3x (efficiency 0.80-0.84) — i.e. 32 hardware threads deliver
          |about 3.3 real cores per 8-thread baseline (SMT + shared cache);
          |the extraction job's efficiency should be read against that ceiling.
          |
-         |Raw engine (no Spark, precomputed docs, 20k-doc round-robin):
-         |1 thread ~18k docs/s; 8 threads ~147k; 32 threads up to ~492k
-         |(0.84 of the 4x ideal over 8).
+         |Raw engine (no Spark, precomputed docs, 20k-doc round-robin,
+         |Test/runMain graft.ProfileThreads): 1 thread ~21k docs/s; 8 threads
+         |~203-223k; 32 threads ~621-627k (8->32 pair efficiency 0.70-0.76).
          |
          |Span-equality pass rate: 100%% on the golden sample —
          |EngineGoldenSpec re-encodes the reference's own tests byte-exact
-         |(incl. 100 B/10 B chunking and media interleave), and 32 of the
+         |(incl. 100 B/10 B chunking and media interleave), and 34 of the
          |SparkEntry queries are DuckDB-oracled end-to-end (the oracle
          |reconstructs the engine's full rewritten HTML + extraction JSON by
          |string concatenation).

@@ -137,22 +137,6 @@ final class ShadowEngine(program: RuleProgram) extends Serializable {
   private val noRules = new Array[Int](0)
 
   def process(doc: Doc): DocOut = {
-    val errors = new ArrayBuffer[String]
-    errors ++= program.compileErrors
-    try {
-      processInternal(doc, errors)
-    } catch {
-      case e: DataTreeError =>
-        // The reference would panic (process crash); we record and move on.
-        errors += s"[engine] ${e.getMessage}"
-        DocOut(doc.doc_id, Seq.empty, "", errors.toSeq)
-      case e: Exception =>
-        errors += s"[engine] internal error: ${e.getClass.getSimpleName}: ${e.getMessage}"
-        DocOut(doc.doc_id, Seq.empty, "", errors.toSeq)
-    }
-  }
-
-  private def processInternal(doc: Doc, errors: ArrayBuffer[String]): DocOut = {
     // ---- assemble the byte stream + media markers ----
     val ordered = doc.spans match {
       case sp: scala.collection.IndexedSeq[Span] =>
@@ -169,7 +153,33 @@ final class ShadowEngine(program: RuleProgram) extends Serializable {
         markers += HtmlParser.MediaMarker(sb.length, sp.media_ref, sp.text)
       else sb.append(sp.text)
     }
-    val a = HtmlParser.parse(sb.toString, markers.toSeq, namePool)
+    processStream(doc.doc_id, sb.toString, markers)
+  }
+
+  /** Stream-level entry: the document's concatenated non-media text plus
+    * media markers at char positions (lets callers that already hold the
+    * raw columns skip Span/Doc materialization entirely). */
+  def processStream(docId: String, stream: String,
+                    markers: scala.collection.Seq[HtmlParser.MediaMarker]): DocOut = {
+    val errors = new ArrayBuffer[String]
+    errors ++= program.compileErrors
+    try {
+      processInternal(docId, stream, markers, errors)
+    } catch {
+      case e: DataTreeError =>
+        // The reference would panic (process crash); we record and move on.
+        errors += s"[engine] ${e.getMessage}"
+        DocOut(docId, Seq.empty, "", errors.toSeq)
+      case e: Exception =>
+        errors += s"[engine] internal error: ${e.getClass.getSimpleName}: ${e.getMessage}"
+        DocOut(docId, Seq.empty, "", errors.toSeq)
+    }
+  }
+
+  private def processInternal(docId: String, stream: String,
+                              markers: scala.collection.Seq[HtmlParser.MediaMarker],
+                              errors: ArrayBuffer[String]): DocOut = {
+    val a = HtmlParser.parse(stream, markers, namePool)
 
     // ---- mutation overlay ----
     val removed = new Array[Boolean](a.size)
@@ -440,7 +450,7 @@ final class ShadowEngine(program: RuleProgram) extends Serializable {
 
     // ---- serialization: arena + overlay -> output spans ----
     val outSpans = new ArrayBuffer[Span]
-    val hb = new java.lang.StringBuilder(sb.length + 64)
+    val hb = new java.lang.StringBuilder(stream.length + 64)
     def flushHtml(): Unit =
       if (hb.length > 0) { outSpans += Span(SpanKinds.Html, hb.toString, "", outSpans.length); hb.setLength(0) }
 
@@ -514,7 +524,7 @@ final class ShadowEngine(program: RuleProgram) extends Serializable {
       flushHtml()
     }
 
-    DocOut(doc.doc_id, outSpans.toSeq, dataJson, errors.toSeq)
+    DocOut(docId, outSpans.toSeq, dataJson, errors.toSeq)
   }
 
   /** lol_html ContentType::Text escaping. */

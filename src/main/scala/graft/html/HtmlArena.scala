@@ -316,11 +316,12 @@ object HtmlParser {
   /** Parse the full document stream into an arena. `markers` must be sorted
     * by pos; markers falling inside a token are emitted right after it.
     * `pool` may be shared across docs within one task. */
-  def parse(s: String, markers: Seq[MediaMarker] = Nil, pool: NamePool = new NamePool): Arena = {
+  def parse(s: String, markers: scala.collection.Seq[MediaMarker] = Nil, pool: NamePool = new NamePool): Arena = {
     val marr: Array[MediaMarker] = if (markers.isEmpty) emptyMarkers else markers.toArray
-    // char[] scan: avoids String coder dispatch + bounds-check overhead in
-    // the per-char hot loop
-    val cs = s.toCharArray
+    // NB: scanning via String.charAt (not a char[] copy) — for Latin-1 docs
+    // a char[] doubles the bytes touched and measurably hurts 8->32-thread
+    // scaling (memory bandwidth is the wide-core limiter)
+
     val a = new Arena(s)
     val root = a.newNode(a.nRoot)
     // open-element stack
@@ -392,14 +393,14 @@ object HtmlParser {
     def findGt(from: Int): Int = { val i = s.indexOf('>', from); if (i < 0) n - 1 else i }
 
     while (pos < n) {
-      val c = cs(pos)
+      val c = s.charAt(pos)
       if (c == '<' && pos + 1 < n) {
-        val c1 = cs(pos + 1)
+        val c1 = s.charAt(pos + 1)
         if (isAsciiLetter(c1)) {
           // ---- start tag ----
           flushTextRun(pos); emitMarkersBefore(pos)
           var i = pos + 1
-          while (i < n && { val ch = cs(i); ch != '>' && ch != '/' && !isWs(ch) }) i += 1
+          while (i < n && { val ch = s.charAt(i); ch != '>' && ch != '/' && !isWs(ch) }) i += 1
           val nameS = pos + 1; val nameE = i
           val tag = pool.get(s, nameS, nameE)
           // attrs
@@ -409,38 +410,38 @@ object HtmlParser {
           var incomplete = false
           while (!done) {
             val wsStart = i
-            while (i < n && isWs(cs(i))) i += 1
+            while (i < n && isWs(s.charAt(i))) i += 1
             if (i >= n) { incomplete = true; done = true }
-            else cs(i) match {
+            else s.charAt(i) match {
               case '>' => trailingStart = wsStart; done = true
               case '/' =>
-                if (i + 1 < n && cs(i + 1) == '>') { trailingStart = wsStart; done = true }
+                if (i + 1 < n && s.charAt(i + 1) == '>') { trailingStart = wsStart; done = true }
                 else if (i + 1 >= n) { incomplete = true; done = true }
                 else i += 1 // stray solidus: ignore, continue attrs
               case _ =>
                 // attr name
                 val preS = wsStart; val preE = i
                 val nStart = i
-                while (i < n && { val ch = cs(i); ch != '=' && ch != '>' && ch != '/' && !isWs(ch) }) i += 1
+                while (i < n && { val ch = s.charAt(i); ch != '=' && ch != '>' && ch != '/' && !isWs(ch) }) i += 1
                 if (i >= n) { incomplete = true; done = true }
                 else {
                   val nEnd = i
                   // skip ws before '='
                   var j = i
-                  while (j < n && isWs(cs(j))) j += 1
+                  while (j < n && isWs(s.charAt(j))) j += 1
                   var vS = 0; var vE = 0
-                  if (j < n && cs(j) == '=') {
+                  if (j < n && s.charAt(j) == '=') {
                     j += 1
-                    while (j < n && isWs(cs(j))) j += 1
+                    while (j < n && isWs(s.charAt(j))) j += 1
                     if (j < n) {
-                      val q = cs(j)
+                      val q = s.charAt(j)
                       if (q == '"' || q == '\'') {
                         val vEnd = s.indexOf(q, j + 1)
                         if (vEnd < 0) { incomplete = true; done = true }
                         else { vS = j + 1; vE = vEnd; i = vEnd + 1 }
                       } else {
                         var k = j
-                        while (k < n && !isWs(cs(k)) && cs(k) != '>') k += 1
+                        while (k < n && !isWs(s.charAt(k)) && s.charAt(k) != '>') k += 1
                         vS = j; vE = k; i = k
                       }
                     } else { incomplete = true; done = true }
@@ -500,14 +501,14 @@ object HtmlParser {
             emitMarkersAfterToken(pos)
           }
         } else if (c1 == '/') {
-          if (pos + 2 < n && isAsciiLetter(cs(pos + 2))) {
+          if (pos + 2 < n && isAsciiLetter(s.charAt(pos + 2))) {
             // ---- end tag ----
             flushTextRun(pos); emitMarkersBefore(pos)
             val gt = s.indexOf('>', pos + 2)
             if (gt < 0) { rawNode(pos, n); pos = n }
             else {
               var i = pos + 2
-              while (i < gt && { val ch = cs(i); ch != '/' && !isWs(ch) }) i += 1
+              while (i < gt && { val ch = s.charAt(i); ch != '/' && !isWs(ch) }) i += 1
               val tag = pool.get(s, pos + 2, i)
               // find match in open stack
               var k = sp - 1
@@ -556,7 +557,7 @@ object HtmlParser {
         if (textStart < 0) textStart = pos
         // skip ahead to the next '<' in one tight scan
         pos += 1
-        while (pos < n && cs(pos) != '<') pos += 1
+        while (pos < n && s.charAt(pos) != '<') pos += 1
       }
     }
     flushTextRun(n)

@@ -60,22 +60,29 @@ object ShadowSpark {
     val spark = df.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(program)
+    val kindMedia = org.apache.spark.unsafe.types.UTF8String.fromString(graft.core.SpanKinds.Media)
     val rdd = df.select(col("doc_id"), col("spans")).queryExecution.toRdd.mapPartitions { it =>
       val engine = new ShadowEngine(bc.value)
+      val sb = new java.lang.StringBuilder(8192)
+      val markers = new scala.collection.mutable.ArrayBuffer[graft.html.HtmlParser.MediaMarker](8)
       it.map { row =>
         val docId = row.getUTF8String(0).toString
         val arr = row.getArray(1)
         val n = arr.numElements()
-        val spans = new Array[graft.core.Span](n)
+        sb.setLength(0); markers.clear()
+        // spans are written in offset order (engine output / corpus); build
+        // the stream directly, no Span/Doc objects, no per-span kind strings
         var i = 0
         while (i < n) {
           val st = arr.getStruct(i, 4)
-          spans(i) = graft.core.Span(
-            st.getUTF8String(0).toString, st.getUTF8String(1).toString,
-            st.getUTF8String(2).toString, st.getInt(3))
+          if (st.getUTF8String(0) == kindMedia)
+            markers += graft.html.HtmlParser.MediaMarker(
+              sb.length, st.getUTF8String(2).toString, st.getUTF8String(1).toString)
+          else
+            sb.append(st.getUTF8String(1).toString)
           i += 1
         }
-        engine.process(Doc(docId, scala.collection.immutable.ArraySeq.unsafeWrapArray(spans)))
+        engine.processStream(docId, sb.toString, markers)
       }
     }
     spark.createDataset(rdd)
