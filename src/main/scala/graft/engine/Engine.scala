@@ -114,6 +114,9 @@ final class ShadowEngine(program: RuleProgram) extends Serializable {
   @transient private lazy val regexCache = new mutable.HashMap[String, Pattern]
   /** tag/attr-name intern pool, reused across all docs of this task */
   @transient private lazy val namePool = new graft.html.NamePool
+  /** per-task scratch arena + overlay arrays, reused across docs */
+  @transient private lazy val scratchArena = new Arena("")
+  @transient private lazy val scratch = new EngineScratch
 
   private val config = program.config
   private val rules = program.rules
@@ -179,20 +182,21 @@ final class ShadowEngine(program: RuleProgram) extends Serializable {
   private def processInternal(docId: String, stream: String,
                               markers: scala.collection.Seq[HtmlParser.MediaMarker],
                               errors: ArrayBuffer[String]): DocOut = {
-    val a = HtmlParser.parse(stream, markers, namePool)
+    val a = HtmlParser.parse(stream, markers, namePool, scratchArena)
 
-    // ---- mutation overlay ----
-    val removed = new Array[Boolean](a.size)
-    val contentOverride = new Array[String](a.size)
-    val beforeL = new Array[ArrayBuffer[String]](a.size)
-    val prependL = new Array[ArrayBuffer[String]](a.size)
-    val appendL = new Array[ArrayBuffer[String]](a.size)
-    val afterL = new Array[ArrayBuffer[String]](a.size)
-    val chunkRemoved = new Array[Boolean](a.size)
-    val chunkReplacement = new Array[String](a.size)
-    val attrOverlay = new Array[AttrOverlay](a.size)
+    // ---- mutation overlay (per-task scratch, cleared for this doc) ----
+    scratch.ensure(a.size)
+    val removed = scratch.removed
+    val contentOverride = scratch.contentOverride
+    val beforeL = scratch.beforeL
+    val prependL = scratch.prependL
+    val appendL = scratch.appendL
+    val afterL = scratch.afterL
+    val chunkRemoved = scratch.chunkRemoved
+    val chunkReplacement = scratch.chunkReplacement
+    val attrOverlay = scratch.attrOverlay
     /** body end-tag JSON injection html, keyed by element node */
-    val dataInjection = new Array[String](a.size)
+    val dataInjection = scratch.dataInjection
 
     val cursor = new DataCursor
     val textBuffers = new mutable.HashMap[Int, java.lang.StringBuilder]
@@ -737,5 +741,49 @@ final class AttrOverlay(a: Arena, el: Int) {
       }
       i += 1
     }
+  }
+}
+
+/** Per-task reusable overlay arrays (cleared up to the previous doc's node
+  * count on ensure()); avoids 10 fresh arrays per row. */
+final class EngineScratch {
+  var removed: Array[Boolean] = new Array[Boolean](0)
+  var contentOverride: Array[String] = new Array[String](0)
+  var beforeL: Array[ArrayBuffer[String]] = new Array[ArrayBuffer[String]](0)
+  var prependL: Array[ArrayBuffer[String]] = new Array[ArrayBuffer[String]](0)
+  var appendL: Array[ArrayBuffer[String]] = new Array[ArrayBuffer[String]](0)
+  var afterL: Array[ArrayBuffer[String]] = new Array[ArrayBuffer[String]](0)
+  var chunkRemoved: Array[Boolean] = new Array[Boolean](0)
+  var chunkReplacement: Array[String] = new Array[String](0)
+  var attrOverlay: Array[AttrOverlay] = new Array[AttrOverlay](0)
+  var dataInjection: Array[String] = new Array[String](0)
+  private var used = 0
+
+  def ensure(n: Int): Unit = {
+    if (n > removed.length) {
+      val cap = math.max(n, removed.length * 2)
+      removed = new Array[Boolean](cap)
+      contentOverride = new Array[String](cap)
+      beforeL = new Array[ArrayBuffer[String]](cap)
+      prependL = new Array[ArrayBuffer[String]](cap)
+      appendL = new Array[ArrayBuffer[String]](cap)
+      afterL = new Array[ArrayBuffer[String]](cap)
+      chunkRemoved = new Array[Boolean](cap)
+      chunkReplacement = new Array[String](cap)
+      attrOverlay = new Array[AttrOverlay](cap)
+      dataInjection = new Array[String](cap)
+    } else {
+      java.util.Arrays.fill(removed, 0, used, false)
+      java.util.Arrays.fill(contentOverride.asInstanceOf[Array[AnyRef]], 0, used, null)
+      java.util.Arrays.fill(beforeL.asInstanceOf[Array[AnyRef]], 0, used, null)
+      java.util.Arrays.fill(prependL.asInstanceOf[Array[AnyRef]], 0, used, null)
+      java.util.Arrays.fill(appendL.asInstanceOf[Array[AnyRef]], 0, used, null)
+      java.util.Arrays.fill(afterL.asInstanceOf[Array[AnyRef]], 0, used, null)
+      java.util.Arrays.fill(chunkRemoved, 0, used, false)
+      java.util.Arrays.fill(chunkReplacement.asInstanceOf[Array[AnyRef]], 0, used, null)
+      java.util.Arrays.fill(attrOverlay.asInstanceOf[Array[AnyRef]], 0, used, null)
+      java.util.Arrays.fill(dataInjection.asInstanceOf[Array[AnyRef]], 0, used, null)
+    }
+    used = n
   }
 }

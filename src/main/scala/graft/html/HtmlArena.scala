@@ -27,7 +27,7 @@ import scala.collection.mutable.ArrayBuffer
   *  - elements closed implicitly (no end-tag token) never fire end-tag
   *    actions (lol_html end_tag_handlers only run on a real end tag).
   */
-final class Arena(val src: String) {
+final class Arena(var src: String) {
   // node kinds
   final val nRoot = 0; final val nElem = 1; final val nText = 2
   final val nRaw = 3 /* comment/doctype/bogus/stray-end-tag passthrough */
@@ -99,6 +99,18 @@ final class Arena(val src: String) {
     attrNameRawS = java.util.Arrays.copyOf(attrNameRawS, n); attrNameRawE = java.util.Arrays.copyOf(attrNameRawE, n)
     attrValS = java.util.Arrays.copyOf(attrValS, n); attrValE = java.util.Arrays.copyOf(attrValE, n)
     attrDup = java.util.Arrays.copyOf(attrDup, n)
+  }
+
+  /** Reuse this arena for a new document (per-task scratch: avoids
+    * reallocating the node/attr tables for every row). All per-node and
+    * per-attr fields are (re)initialized by newNode/addAttr. */
+  def reset(newSrc: String): Unit = {
+    src = newSrc
+    size = 0
+    nAttrs = 0
+    name.clear()
+    attrName.clear()
+    mediaText.clear()
   }
 
   def newNode(k: Int): Int = {
@@ -316,13 +328,14 @@ object HtmlParser {
   /** Parse the full document stream into an arena. `markers` must be sorted
     * by pos; markers falling inside a token are emitted right after it.
     * `pool` may be shared across docs within one task. */
-  def parse(s: String, markers: scala.collection.Seq[MediaMarker] = Nil, pool: NamePool = new NamePool): Arena = {
+  def parse(s: String, markers: scala.collection.Seq[MediaMarker] = Nil,
+            pool: NamePool = new NamePool, reuse: Arena = null): Arena = {
     val marr: Array[MediaMarker] = if (markers.isEmpty) emptyMarkers else markers.toArray
     // NB: scanning via String.charAt (not a char[] copy) — for Latin-1 docs
     // a char[] doubles the bytes touched and measurably hurts 8->32-thread
     // scaling (memory bandwidth is the wide-core limiter)
 
-    val a = new Arena(s)
+    val a = if (reuse == null) new Arena(s) else { reuse.reset(s); reuse }
     val root = a.newNode(a.nRoot)
     // open-element stack
     var stack = new Array[Int](16); var stackTags = new Array[String](16); var sp = 0

@@ -196,6 +196,14 @@ class SparkSpec extends AnyFunSuite {
     assert(meta.getAs[scala.collection.Seq[Float]]("feature").length == 8)
   }
 
+  test("salted repartition (skew handling) preserves results exactly") {
+    val docs = Corpus.generate(spark, 300, 2, megaEvery = 50) // 6 mega-docs
+    val direct = ShadowSpark.process(docs, program).collect().sortBy(_.doc_id).toSeq
+    val salted = ShadowSpark.process(
+      ShadowSpark.repartitionByDoc(docs, 11), program).collect().sortBy(_.doc_id).toSeq
+    assert(salted == direct)
+  }
+
   test("entry() smoke: flagship query returns clean rows") {
     val df = SparkEntry.entry(spark)
     val rows = df.collect()
