@@ -339,6 +339,8 @@ object SparkEntry {
           round(col("l_extendedprice") * 100).cast("long").as("price_cents"))
         .orderBy("l_orderkey", "rk")
     }),
+    "q5_sessionize" -> ((s, dir) =>
+      graft.streaming.Sessionize.batch(events(s, dir), gapMinutes = 30)),
     "q4_events_window" -> ((s, dir) =>
       events(s, dir)
         .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
@@ -513,6 +515,15 @@ object SparkEntry {
         "SELECT l_orderkey, l_linenumber, CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents, " +
         "row_number() OVER (PARTITION BY l_orderkey ORDER BY l_extendedprice DESC, l_linenumber) AS rk " +
         "FROM lineitem) WHERE rk <= 2 ORDER BY l_orderkey, rk"),
+    "q5_sessionize" ->
+      ("WITH flagged AS (SELECT user_id, event_id, ts, value, " +
+        "CASE WHEN lag(ts) OVER w IS NULL OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_session " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+        "sess AS (SELECT user_id, ts, value, CAST(SUM(new_session) OVER " +
+        "(PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx FROM flagged) " +
+        "SELECT user_id, session_idx, MIN(ts) AS start_ts, MAX(ts) AS end_ts, COUNT(*) AS n_events, " +
+        "CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents " +
+        "FROM sess GROUP BY 1, 2 ORDER BY 1, 2"),
     "q4_events_window" ->
       ("SELECT date_trunc('hour', ts) AS h, event_type, COUNT(*) AS n, " +
         "CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents FROM events GROUP BY 1, 2 ORDER BY 1, 2"),

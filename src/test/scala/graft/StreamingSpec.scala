@@ -43,4 +43,56 @@ class StreamingSpec extends AnyFunSuite {
       assert(streamed == batch)
     } finally q.stop()
   }
+
+  test("watermarked windowed aggregation over a stream matches the batch twin") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_events").toString
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .write.mode("overwrite").parquet(dir)
+    val streamDf = spark.readStream
+      .schema(spark.read.parquet(dir).schema).parquet(dir)
+      .withColumn("ts", org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+    val q = graft.streaming.Sessionize.windowedCounts(streamDf)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("graft_win_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("graft_win_out")
+        .select("h", "event_type", "n", "value_cents")
+        .collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+      val batch = spark.read.parquet(dir)
+        .withColumn("ts", org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+        .groupBy(org.apache.spark.sql.functions.date_trunc("hour", org.apache.spark.sql.functions.col("ts")).as("h"),
+          org.apache.spark.sql.functions.col("event_type"))
+        .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"),
+          org.apache.spark.sql.functions.sum(org.apache.spark.sql.functions.round(
+            org.apache.spark.sql.functions.col("value") * 100).cast("long")).as("value_cents"))
+        .collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
+  test("stateful sessionization (flatMapGroupsWithState) matches batch closed sessions") {
+    import graft.streaming.Sessionize
+    val eventsDf = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val all = Sessionize.batch(eventsDf, 30).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(4), r.getLong(5))).toSet
+    // closed sessions = all minus each user's last session
+    val lastIdx = all.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    val closed = all.filterNot { case (u, i, _, _) => lastIdx(u) == i }
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_sess").toString
+    eventsDf.select("user_id", "ts", "value").write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(dir).schema).parquet(dir)
+      .withColumn("ts", org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+      .as[Sessionize.Event]
+    val q = Sessionize.streaming(stream, 30)
+      .writeStream.outputMode("append").format("memory").queryName("graft_sess_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("graft_sess_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("n_events"), r.getAs[Long]("value_cents"))).toSet
+      assert(streamed == closed, s"streamed=${streamed.size} closed=${closed.size}")
+    } finally q.stop()
+  }
 }
