@@ -186,6 +186,26 @@ object SparkEntry {
     "s6_as_json" -> ((s, dir) =>
       runEngine(s, dir, tplMain, Seq(rulesHead, rulesMain), EngineConfig(asJson = true))
         .select(col("doc_id"), col("html").as("json_out"))),
+    "s9_spans_to_rows" -> ((s, dir) => {
+      // engine output spans -> rows via the built-in explode Generator
+      import s.implicits._
+      val program = compile(Seq(rulesHead, rulesMain))
+      val bc = s.sparkContext.broadcast(program)
+      val input = documents(s, dir)
+        .select(col("doc_id").cast("string").as("doc_id"), tplCol(tplMain).as("h"))
+        .as[(String, String)]
+      val outs = input.mapPartitions { it =>
+        val engine = new ShadowEngine(bc.value)
+        it.map { case (id, h) => engine.process(Doc(id, Seq(Span(SpanKinds.Html, h, "", 0)))) }
+      }
+      outs.select(col("doc_id"), explode(col("spans")).as("sp"))
+        .groupBy("doc_id")
+        .agg(count(when(col("sp.kind") === "html", 1)).as("n_html"),
+          count(when(col("sp.kind") === "data", 1)).as("n_data"),
+          count(when(col("sp.kind") === "media", 1)).as("n_media"),
+          sum(length(col("sp.text"))).as("total_chars"))
+        .orderBy("doc_id")
+    }),
     "s7_s8_data_formatter" -> ((s, dir) =>
       runEngine(s, dir, tplMain, Seq(rulesMain),
         EngineConfig(dataFormatter = d => s"<!-- graft:$d -->"))
@@ -440,6 +460,11 @@ object SparkEntry {
       s"SELECT CAST(doc_id AS VARCHAR) AS doc_id, ${tplSql(tplMainExpectedJson)} AS json_out FROM documents ORDER BY 1",
     "s7_s8_data_formatter" ->
       s"SELECT CAST(doc_id AS VARCHAR) AS doc_id, ${tplSql(tplMainExpectedJson)} AS data_json FROM documents ORDER BY 1",
+    // tplMain output spans = [html-before-script, data span, "</body></html>"]
+    "s9_spans_to_rows" ->
+      (s"SELECT CAST(doc_id AS VARCHAR) AS doc_id, CAST(2 AS BIGINT) AS n_html, CAST(1 AS BIGINT) AS n_data, " +
+        s"CAST(0 AS BIGINT) AS n_media, CAST(length(${tplSql(tplMainExpectedHtml)}) AS BIGINT) AS total_chars " +
+        "FROM documents ORDER BY 1"),
 
     "m1_m4_injections" -> oracleFor(
       Seq(L("<div id=\"w\"><i>B1</i><i>B2</i><div id=\"x\"><i>P2</i><i>P1</i>"), fSource,
