@@ -63,26 +63,53 @@ object ShadowSpark {
     val kindMedia = org.apache.spark.unsafe.types.UTF8String.fromString(graft.core.SpanKinds.Media)
     val rdd = df.select(col("doc_id"), col("spans")).queryExecution.toRdd.mapPartitions { it =>
       val engine = new ShadowEngine(bc.value)
-      val sb = new java.lang.StringBuilder(8192)
+      var buf = new Array[Byte](16384) // per-task reusable byte scratch
       val markers = new scala.collection.mutable.ArrayBuffer[graft.html.HtmlParser.MediaMarker](8)
       it.map { row =>
         val docId = row.getUTF8String(0).toString
         val arr = row.getArray(1)
         val n = arr.numElements()
-        sb.setLength(0); markers.clear()
-        // spans are written in offset order (engine output / corpus); build
-        // the stream directly, no Span/Doc objects, no per-span kind strings
+        markers.clear()
+        // spans arrive in offset order (engine output / corpus). Assemble
+        // the stream as raw UTF-8 bytes and decode ONCE at the end — a
+        // per-span toString + builder append would copy every char three
+        // times. Media markers record BYTE positions first and are remapped
+        // to UTF-16 char positions in one pass (only for docs with media).
+        var bytePos = 0
         var i = 0
         while (i < n) {
           val st = arr.getStruct(i, 4)
-          if (st.getUTF8String(0) == kindMedia)
+          val kind = st.getUTF8String(0)
+          if (kind == kindMedia) {
             markers += graft.html.HtmlParser.MediaMarker(
-              sb.length, st.getUTF8String(2).toString, st.getUTF8String(1).toString)
-          else
-            sb.append(st.getUTF8String(1).toString)
+              bytePos, st.getUTF8String(2).toString, st.getUTF8String(1).toString)
+          } else {
+            val u = st.getUTF8String(1)
+            val nb = u.numBytes()
+            if (bytePos + nb > buf.length)
+              buf = java.util.Arrays.copyOf(buf, math.max(buf.length * 2, bytePos + nb))
+            u.writeTo(java.nio.ByteBuffer.wrap(buf, bytePos, nb))
+            bytePos += nb
+          }
           i += 1
         }
-        engine.processStream(docId, sb.toString, markers)
+        if (markers.nonEmpty) {
+          // byte offset -> UTF-16 char offset: count non-continuation bytes,
+          // +1 extra for 4-byte sequences (surrogate pairs)
+          var ci = 0; var bi = 0; var mi = 0
+          while (mi < markers.length) {
+            val target = markers(mi).pos
+            while (bi < target) {
+              val b = buf(bi)
+              if ((b & 0xC0) != 0x80) { ci += 1; if ((b & 0xF8) == 0xF0) ci += 1 }
+              bi += 1
+            }
+            markers(mi) = markers(mi).copy(pos = ci)
+            mi += 1
+          }
+        }
+        val stream = new String(buf, 0, bytePos, java.nio.charset.StandardCharsets.UTF_8)
+        engine.processStream(docId, stream, markers)
       }
     }
     spark.createDataset(rdd)

@@ -28,5 +28,9 @@ object DriveVerify {
     val e1 = eng.process(Doc("d3", Seq()))
     val e2 = eng.process(Doc("d4", Seq(Span("media", "payload", "media://d4/0", 0))))
     println("EMPTY=" + e1.spans + " MEDIAONLY=" + e2.spans)
+    // boilerplate main-content extraction
+    val bp = graft.engine.Boilerplate.mainContentSpans(
+      "<div class=\"nav\"><a href=x>home</a></div><p>" + ("real content words here " * 10) + "</p>")
+    println("BOILERPLATE=" + bp.map(_.text.take(40)))
   }
 }

@@ -48,6 +48,28 @@ class SparkSpec extends AnyFunSuite {
     assert(typed.toSeq == fast.toSeq)
   }
 
+  test("processColumnar: non-ASCII docs with media markers (byte->char remap)") {
+    import graft.core.{Doc, Span}
+    // Japanese text (multi-byte UTF-8) split mid-document with media spans
+    // between and after non-ASCII content
+    val docs = Seq(
+      Doc("u1", Seq(
+        Span("html", "<div class=\"to_delete\">\u4e16\u754c\u3092\u30ea\u30fc\u30c9", "", 0),
+        Span("media", "payload", "media://u1/a", 1),
+        Span("html", "\u3059\u308b</div><p>ok \ud83d\ude00 tail</p>", "", 2),
+        Span("media", "", "media://u1/b", 3))),
+      Doc("u2", Seq(
+        Span("media", "", "media://u2/lead", 0),
+        Span("html", "<b>\u65e5\u672c\u8a9e</b>", "", 1))))
+    val ds = spark.createDataset(docs)
+    val typed = ShadowSpark.process(ds, program).collect().sortBy(_.doc_id).toSeq
+    val fast = ShadowSpark.processColumnar(ds.toDF(), program).collect().sortBy(_.doc_id).toSeq
+    assert(typed == fast)
+    // media refs preserved in order
+    assert(fast.head.spans.filter(_.kind == "media").map(_.media_ref) ==
+      Seq("media://u1/a", "media://u1/b"))
+  }
+
   test("parallelism invariance: local partitioning does not change results") {
     val one = ShadowSpark.process(Corpus.generate(spark, 200, 1), program)
       .collect().sortBy(_.doc_id).toSeq
