@@ -30,7 +30,7 @@ object DriveVerify {
     println("EMPTY=" + e1.spans + " MEDIAONLY=" + e2.spans)
     // boilerplate main-content extraction
     val bp = graft.engine.Boilerplate.mainContentSpans(
-      "<div class=\"nav\"><a href=x>home</a></div><p>" + ("real content words here " * 10) + "</p>")
+      "<div class=\"nav\"><a href=x>home</a></div><p>" + ("real content words here " * 11) + "</p>")
     println("BOILERPLATE=" + bp.map(_.text.take(40)))
   }
 }
