@@ -88,6 +88,33 @@ object Bench {
       val w32 = wallAt(32, warm = true)
       (w8, w32)
     }
+    // ---- calibration: the engine alone (no Spark, no parquet decode) at
+    // 8 vs 32 raw threads over precomputed in-memory docs — isolates the
+    // compute-bound scaling from the I/O/decode share ----
+    def engineRun(nThreads: Int, docsArr: Array[graft.core.Doc], rounds2: Int): Double = {
+      val counter = new java.util.concurrent.atomic.AtomicLong(0)
+      val totalN = docsArr.length.toLong * rounds2
+      val t0 = System.nanoTime()
+      val ts = (0 until nThreads).map { _ =>
+        new Thread(() => {
+          val e = new graft.engine.ShadowEngine(program)
+          var next = counter.getAndIncrement()
+          while (next < totalN) {
+            e.process(docsArr((next % docsArr.length).toInt))
+            next = counter.getAndIncrement()
+          }
+        })
+      }
+      ts.foreach(_.start()); ts.foreach(_.join())
+      totalN / ((System.nanoTime() - t0) / 1e9)
+    }
+    val calDocs = (0 until 20000).map(i => Corpus.makeDoc(i.toLong)).toArray
+    engineRun(32, calDocs, 2) // warmup
+    val engPairs = (1 to 2).map(_ => (engineRun(8, calDocs, 3), engineRun(32, calDocs, 3)))
+    val eng8 = engPairs.map(_._1).max
+    val eng32 = engPairs.map(_._2).max
+    val engEff = (eng32 / eng8) / 4.0
+
     val best8 = pairs.map(_._1).min
     val best32 = pairs.map(_._2).min
     // conservative statistic: ratio of BEST walls on each side (a per-pair
@@ -101,7 +128,7 @@ object Bench {
     val total = results.map(_._2).sum
     val pairsStr = pairs.map { case (a, b) => f"[$a%.2f,$b%.2f]" }.mkString("[", ",", "]")
     println(
-      f"""{"metric":"docs_per_sec_local32","value":$dps32%.1f,"unit":"docs/sec","queries":$qs,"sf":"$sfDir","total_query_sec":$total%.2f,"bench_docs":$nDocs,"docs_per_sec_local8":$dps8%.1f,"wall_pairs_8_32":$pairsStr,"scaling_efficiency_8_to_32":$efficiency%.3f}""")
+      f"""{"metric":"docs_per_sec_local32","value":$dps32%.1f,"unit":"docs/sec","queries":$qs,"sf":"$sfDir","total_query_sec":$total%.2f,"bench_docs":$nDocs,"docs_per_sec_local8":$dps8%.1f,"wall_pairs_8_32":$pairsStr,"scaling_efficiency_8_to_32":$efficiency%.3f,"engine_docs_per_sec_8t":$eng8%.1f,"engine_docs_per_sec_32t":$eng32%.1f,"engine_scaling_efficiency_8_to_32":$engEff%.3f}""")
 
     val md =
       f"""# BENCH / BASELINE — measured numbers
@@ -138,9 +165,13 @@ object Bench {
          |about 3.3 real cores per 8-thread baseline (SMT + shared cache);
          |the extraction job's efficiency should be read against that ceiling.
          |
-         |Raw engine (no Spark, precomputed docs, 20k-doc round-robin,
-         |Test/runMain graft.ProfileThreads): 1 thread ~21k docs/s; 8 threads
-         |~203-223k; 32 threads ~621-627k (8->32 pair efficiency 0.70-0.76).
+         |Raw engine calibration, measured THIS run (no Spark, no parquet
+         |decode; precomputed in-memory docs, round-robin across threads):
+         |$eng8%.0f docs/s at 8 threads, $eng32%.0f at 32 — compute-bound
+         |scaling efficiency $engEff%.3f. The end-to-end gap to this number
+         |is the parquet scan + UTF-8 decode share, which is
+         |allocation-bandwidth-bound (the host's pure-allocation 8->32
+         |scaling caps at ~0.57).
          |
          |Span-equality pass rate: 100%% on the golden sample —
          |EngineGoldenSpec re-encodes the reference's own tests byte-exact
