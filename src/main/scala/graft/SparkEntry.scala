@@ -379,8 +379,11 @@ object SparkEntry {
     "dd4_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardConsecutive(documents(s, dir)).orderBy("doc_id")),
     "dd5_embedding_neardup" -> ((s, dir) =>
-      Dedup.embeddingNearDup(embeddings(s, dir), minCos = 0.9)
-        .select(col("id1"), col("id2")).orderBy("id1", "id2")),
+      // integer-exact cosine threshold sqrt(4/25) = 0.4 (the corpus plants
+      // no >=0.9 near-dups; 0.4 yields real pairs). LSH scale path:
+      // Dedup.embeddingNearDup, recall-tested in SparkSpec.
+      Dedup.embeddingNearDupExact(embeddings(s, dir), num = 4L, den = 25L)
+        .orderBy("id1", "id2")),
 
     // ---- similarity search ----
     "ann1_quantized_topk" -> ((s, dir) => {
@@ -566,6 +569,61 @@ object SparkEntry {
       ("SELECT vec_id, CAST(list_dot_product(list_transform(embedding, x -> round(x * 1000)), " +
         "(SELECT list_transform(embedding, x -> round(x * 1000)) FROM embeddings WHERE vec_id = 0)) AS BIGINT) AS qdot " +
         "FROM embeddings ORDER BY qdot DESC, vec_id LIMIT 10"),
+
+    // exact-double cosine: both engines fold the dot product left-to-right
+    // over double-cast floats, so the ranking (and therefore the top-10 id
+    // set) is reproducible; only integer vec_ids are emitted.
+    "ann2_bruteforce_topk" ->
+      ("WITH qd AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv FROM embeddings WHERE vec_id = 0) " +
+        "SELECT vec_id FROM (SELECT vec_id, " +
+        "list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)), (SELECT qv FROM qd)) / " +
+        "(sqrt(list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)), list_transform(embedding, x -> CAST(x AS DOUBLE)))) * " +
+        "(SELECT sqrt(list_dot_product(qv, qv)) FROM qd)) AS score FROM embeddings) " +
+        "ORDER BY score DESC, vec_id LIMIT 10"),
+
+    // integer-quantized cosine threshold (see Dedup.embeddingNearDupExact):
+    // cos >= 0.4  <=>  qdot >= 0 AND 25*qdot^2 >= 4*|a|^2*|b|^2, all int64.
+    "dd5_embedding_neardup" ->
+      ("WITH q AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(x*1000) AS BIGINT)) AS qv FROM embeddings), " +
+        "n AS (SELECT vec_id, qv, CAST(list_dot_product(qv, qv) AS BIGINT) AS qn2 FROM q) " +
+        "SELECT id1, id2, qdot FROM (SELECT x.vec_id AS id1, y.vec_id AS id2, " +
+        "CAST(list_dot_product(x.qv, y.qv) AS BIGINT) AS qdot, x.qn2 AS qn2a, y.qn2 AS qn2b " +
+        "FROM n x JOIN n y ON x.vec_id < y.vec_id) " +
+        "WHERE qdot >= 0 AND 25*qdot*qdot >= 4*qn2a*qn2b ORDER BY id1, id2"),
+
+    // stopword-profile language ID (graft.functions.Hashing.langId): per-
+    // language token hits (zh: +2 per profile char present as a substring),
+    // first-max in (en,de,fr,es,zh) order via the nested >= CASE.
+    "tx1_lang_id" ->
+      ("WITH scored AS (SELECT lang AS lang_label, " +
+        "len(list_filter(string_split(text,' '), t -> t IN ('the','and','of','to','in','is','that','it','was','for'))) AS s_en, " +
+        "len(list_filter(string_split(text,' '), t -> t IN ('der','die','das','und','ist','nicht','ein','mit','auf','zu'))) AS s_de, " +
+        "len(list_filter(string_split(text,' '), t -> t IN ('le','la','les','et','de','un','une','est','dans','que'))) AS s_fr, " +
+        "len(list_filter(string_split(text,' '), t -> t IN ('el','la','los','y','de','un','una','es','en','que'))) AS s_es, " +
+        "len(list_filter(string_split(text,' '), t -> t IN ('的','是','了','在','我','有','和','不','人','这'))) " +
+        "+ 2*(CASE WHEN contains(text,'的') THEN 1 ELSE 0 END) + 2*(CASE WHEN contains(text,'是') THEN 1 ELSE 0 END) " +
+        "+ 2*(CASE WHEN contains(text,'了') THEN 1 ELSE 0 END) + 2*(CASE WHEN contains(text,'在') THEN 1 ELSE 0 END) " +
+        "+ 2*(CASE WHEN contains(text,'我') THEN 1 ELSE 0 END) + 2*(CASE WHEN contains(text,'有') THEN 1 ELSE 0 END) " +
+        "+ 2*(CASE WHEN contains(text,'和') THEN 1 ELSE 0 END) + 2*(CASE WHEN contains(text,'不') THEN 1 ELSE 0 END) " +
+        "+ 2*(CASE WHEN contains(text,'人') THEN 1 ELSE 0 END) + 2*(CASE WHEN contains(text,'这') THEN 1 ELSE 0 END) AS s_zh " +
+        "FROM documents) " +
+        "SELECT lang_label, CASE " +
+        "WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en >= s_zh THEN 'en' " +
+        "WHEN s_de >= s_fr AND s_de >= s_es AND s_de >= s_zh THEN 'de' " +
+        "WHEN s_fr >= s_es AND s_fr >= s_zh THEN 'fr' " +
+        "WHEN s_es >= s_zh THEN 'es' ELSE 'zh' END AS lang_pred, count(*) AS n " +
+        "FROM scored GROUP BY 1, 2 ORDER BY 1, 2"),
+
+    // FNV-style 64-bit rolling hash (graft.functions.Hashing.fingerprint):
+    // h = h*1099511628211 + charAt(i) with signed-64 wraparound, replayed in
+    // DuckDB as HUGEINT arithmetic mod 2^64, then re-signed.
+    "tx4_fingerprint" ->
+      ("SELECT doc_id, CAST(CASE WHEN r >= CAST('9223372036854775808' AS HUGEINT) " +
+        "THEN r - CAST('18446744073709551616' AS HUGEINT) ELSE r END AS BIGINT) AS fp64 " +
+        "FROM (SELECT doc_id, list_reduce(list_prepend(CAST('14695981039346656037' AS HUGEINT), " +
+        "list_transform(string_split(text,''), c -> CAST(unicode(c) AS HUGEINT))), " +
+        "(acc,c) -> (acc*1099511628211 + c) % CAST('18446744073709551616' AS HUGEINT)) AS r FROM documents) " +
+        "ORDER BY doc_id"),
 
     "tx2_quality" ->
       ("SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(length(text) AS INT) AS n_chars, " +

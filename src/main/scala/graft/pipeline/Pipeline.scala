@@ -110,6 +110,28 @@ object Dedup {
         (dot / (nx * ny)).as("cos"))
       .where(col("cos") >= minCos)
   }
+
+  /** Exact near-dup pairs with an INTEGER cosine threshold: vectors are
+    * quantized to round(x*1000) bigints, and `cos >= sqrt(num/den)` is
+    * rewritten as `qdot >= 0 && den*qdot^2 >= num*|a|^2*|b|^2` — pure
+    * int64 arithmetic, so an external engine reproduces it bit-for-bit
+    * (same trick as Ann.quantizedTopK). This is the verification/recall
+    * baseline: O(n^2) pairs, broadcast-joined (the quantized table is tiny
+    * relative to the corpus). The 100 TB path is `embeddingNearDup`'s
+    * sign-LSH bucket join, whose recall is measured against this. */
+  def embeddingNearDupExact(emb: DataFrame, num: Long, den: Long): DataFrame = {
+    val q = emb.select(col("vec_id"),
+      expr("transform(embedding, x -> cast(round(x*1000) as bigint))").as("qv"))
+      .withColumn("qn2", expr("aggregate(qv, 0L, (a,v) -> a + v*v)"))
+    val x = q.as("x"); val y = q.as("y")
+    val qdot = expr("aggregate(zip_with(x.qv, y.qv, (p,q) -> p*q), 0L, (a,v) -> a+v)")
+    x.join(y, col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("id1"), col("y.vec_id").as("id2"),
+        qdot.as("qdot"), col("x.qn2").as("qn2a"), col("y.qn2").as("qn2b"))
+      .where(col("qdot") >= 0 &&
+        col("qdot") * col("qdot") * lit(den) >= lit(num) * col("qn2a") * col("qn2b"))
+      .select(col("id1"), col("id2"), col("qdot"))
+  }
 }
 
 object Ann {
