@@ -165,6 +165,61 @@ object Ann {
       .limit(k)
   }
 
+  /** Spark SQL round() semantics (BigDecimal HALF_UP — away from zero on
+    * exact halves) for driver-side quantization, so driver-quantized
+    * literals agree bit-for-bit with scan-projected `round(x*1000)`. */
+  private def qround1000(x: Float): Long =
+    new java.math.BigDecimal(x.toDouble * 1000)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+
+  /** IVF-style ANN (second scale path besides sign-LSH): a coarse codebook
+    * of `cells` centroids — here the quantized vectors of the `cells`
+    * lowest vec_ids; at 100 TB the codebook is trained offline — with every
+    * vector assigned to its nearest centroid by INTEGER L2 distance
+    * (d_c = |c|^2 - 2*dot(v,c), the |v|^2 term is constant per row; ties ->
+    * lowest cell). The query probes the `nprobe` nearest cells and ranks
+    * only those vectors by quantized dot product. At scale `cell` is the
+    * table's partition/cluster key, so the scan prunes to ~nprobe/cells of
+    * the data; assignment is a scan-local projection (no shuffle) and the
+    * final top-k is per-partition TakeOrdered + driver merge of k rows.
+    * Integer-exact end to end, so an external engine reproduces it. */
+  def ivfTopK(emb: DataFrame, queryVec: Array[Float], k: Int,
+              cells: Int = 8, nprobe: Int = 2): DataFrame = {
+    val cents: Array[Array[Long]] = emb.orderBy("vec_id").limit(cells)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray.map(qround1000))
+    val cn2: Array[Long] = cents.map(c => c.map(v => v * v).sum)
+    val qv: Array[Long] = queryVec.map(qround1000)
+    def qdotWith(c: Array[Long]): Long =
+      qv.zip(c).map { case (a, b) => a * b }.sum
+    val probes: Seq[Int] = cents.indices
+      .sortBy(i => (cn2(i) - 2L * qdotWith(cents(i)), i)).take(nprobe)
+
+    var df = emb.select(col("vec_id"),
+      expr("transform(embedding, x -> cast(round(x*1000) as bigint))").as("qv"))
+    cents.indices.foreach(i => df = df.withColumn(s"c$i", typedLit(cents(i))))
+    val dcols = cents.indices.map { i =>
+      (expr(s"aggregate(zip_with(qv, c$i, (p,q) -> p*q), 0L, (a,v) -> a+v)")
+        * lit(-2L) + lit(cn2(i))).as(s"d$i")
+    }
+    df = df.select(col("vec_id") +: col("qv") +: dcols: _*)
+    // first-min argmin: cell i wins iff d_i <= every later d_j and no
+    // earlier index won (matches the oracle's ORDER BY dist, cell LIMIT 1)
+    def leAll(i: Int): Column =
+      (i + 1 until cents.length).map(j => col(s"d$i") <= col(s"d$j"))
+        .reduceOption(_ && _).getOrElse(lit(true))
+    val cellCol = cents.indices.init.foldRight(lit(cents.length - 1): Column) {
+      (i, rest) => when(leAll(i), lit(i)).otherwise(rest)
+    }
+    df.withColumn("cell", cellCol)
+      .where(col("cell").isin(probes.map(Integer.valueOf): _*))
+      .withColumn("qq", typedLit(qv))
+      .select(col("vec_id"),
+        expr("aggregate(zip_with(qv, qq, (p,q) -> p*q), 0L, (a,v) -> a+v)").as("qdot"))
+      .orderBy(col("qdot").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** LSH-bucketed ANN (scale path): probe only the query's sign-LSH bucket
     * (and optionally 1-bit-flip neighbor buckets). At 100 TB the bucket
     * column is a partition/cluster key so the scan prunes to ~1/2^planes

@@ -190,6 +190,15 @@ class SparkSpec extends AnyFunSuite {
     val top = graft.pipeline.Ann.bruteForceTopK(emb, base(0)._2, 2)
       .collect().map(_.getLong(0)).toSeq
     assert(top.take(2).toSet == Set(0L, 100L))
+    // IVF: the near-copy of vec 0 lands in vec 0's cell (it is nearest the
+    // same centroid), so probing the query's cells must return both
+    val ivf = graft.pipeline.Ann.ivfTopK(emb, base(0)._2, 2, cells = 4, nprobe = 1)
+      .collect().map(_.getLong(0)).toSeq
+    assert(ivf.take(2).toSet == Set(0L, 100L), s"ivf top-2 was $ivf")
+    // exact integer-threshold pairs find the planted near-copy too
+    val ex = Dedup.embeddingNearDupExact(emb, num = 9801L, den = 10000L) // 0.99^2
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ex.contains((0L, 100L)))
   }
 
   test("tx1: language-ID heuristic on real-language samples") {
