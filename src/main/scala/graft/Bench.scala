@@ -29,7 +29,7 @@ import scala.collection.mutable.ArrayBuffer
   */
 object Bench {
 
-  private def session(cpus: Int): SparkSession = {
+  private[graft] def session(cpus: Int): SparkSession = {
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(s"graft-bench-$cpus")
@@ -44,6 +44,38 @@ object Bench {
     s
   }
 
+  /** JDK17 module opens Spark needs (JavaModuleOptions.defaultModuleOptions). */
+  private[graft] val jdk17AddOpens: Seq[String] = Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar",
+  ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+
+  /** Spawn one measurement in a fresh JVM sized for `c` cores. */
+  private def childWall(c: Int, corpusPath: String, nDocs: Long): Double = {
+    val javaBin = sys.props("java.home") + "/bin/java"
+    val cmd = Seq(javaBin) ++ jdk17AddOpens ++ Seq(
+      s"-XX:ActiveProcessorCount=$c",
+      "-Xmx6g", "-Xms6g", "-XX:+AlwaysPreTouch", "-XX:+UseParallelGC",
+      "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
+      "-cp", sys.props("java.class.path"),
+      "graft.BenchChild", corpusPath, nDocs.toString, c.toString)
+    // merge stderr into stdout and read continuously: an un-drained pipe
+    // would block the child once Spark's console logging fills the buffer
+    val pb = new ProcessBuilder(cmd: _*).redirectErrorStream(true)
+    val p = pb.start()
+    val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+    require(p.waitFor() == 0, s"bench child (c=$c) failed:\n${out.takeRight(4000)}")
+    val wall = out.linesIterator.collectFirst {
+      case l if l.startsWith("GRAFT_WALL=") => l.stripPrefix("GRAFT_WALL=").toDouble
+    }
+    wall.getOrElse(sys.error(s"bench child (c=$c) printed no GRAFT_WALL:\n$out"))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -51,12 +83,15 @@ object Bench {
     val corpusPath = sys.props("java.io.tmpdir") + "/graft_bench_corpus"
 
     // ---- per-query timings ----
+    val skipQueries = sys.env.get("SPARK_GRAFT_BENCH_SKIP_QUERIES").contains("1")
     val spark0 = session(cpus)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark0, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
+    val results =
+      if (skipQueries) Seq.empty
+      else SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark0, sfDir).count() } catch { case _: Throwable => -1L }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
     // materialize the scaling corpus once (north-rule input shape)
     Corpus.generate(spark0, nDocs, 128).write.mode("overwrite").parquet(corpusPath)
     spark0.stop()
@@ -66,19 +101,29 @@ object Bench {
       RuleParser.parseStr(Corpus.headRules, errs),
       RuleParser.parseStr(Corpus.corpusRules, errs)))
 
-    /** one measured wall of read->extract->count at the given parallelism */
-    def wallAt(c: Int, warm: Boolean): Double = {
-      val s = session(c)
-      try {
-        if (warm) { // JIT + page-cache warmup
-          ShadowSpark.processColumnar(s.read.parquet(corpusPath).limit(60000), program).count()
-        }
-        val t0 = System.nanoTime()
-        val n = ShadowSpark.processColumnar(s.read.parquet(corpusPath), program).count()
-        require(n == nDocs, s"row count $n != $nDocs")
-        (System.nanoTime() - t0) / 1e9
-      } finally s.stop()
-    }
+    /** one measured wall of read->extract->count at the given parallelism.
+      *
+      * Default mode "child": the measurement runs in a FRESH child JVM with
+      * -XX:ActiveProcessorCount=c, so GC / JIT / netty / fork-join pools are
+      * sized for c cores exactly as they would be on a real c-core executor
+      * (in-process session cycling leaves all of those sized for the full
+      * host, which flatters the small-N side — a 4-thread run backed by a
+      * 32-core JVM gets 32-core GC). "inproc" keeps the old faster mode. */
+    val mode = sys.env.getOrElse("SPARK_GRAFT_BENCH_MODE", "child")
+    def wallAt(c: Int, warm: Boolean): Double =
+      if (mode == "child") childWall(c, corpusPath, nDocs)
+      else {
+        val s = session(c)
+        try {
+          if (warm) { // JIT + page-cache warmup
+            ShadowSpark.processColumnar(s.read.parquet(corpusPath).limit(60000), program).count()
+          }
+          val t0 = System.nanoTime()
+          val n = ShadowSpark.processColumnar(s.read.parquet(corpusPath), program).count()
+          require(n == nDocs, s"row count $n != $nDocs")
+          (System.nanoTime() - t0) / 1e9
+        } finally s.stop()
+      }
 
     // Two N->4N pairs, interleaved in time; efficiency per adjacent pair.
     //  * N=4 -> 4N=16 is the HEADLINE evidence for the north rule: both
@@ -90,17 +135,21 @@ object Bench {
     //    at local[32] the 32 worker threads saturate every vCPU, so GC and
     //    framework threads steal from workers — a single-box artifact this
     //    host's own pure-CPU calibration caps at ~0.8-0.84 efficiency.
-    wallAt(8, warm = true) // global JIT warmup
-    wallAt(32, warm = true)
+    // All four sizes are interleaved WITHIN each round (4,16,8,32), so a
+    // multi-minute host-throttle window (observed: the VM caps to ~4-6
+    // effective cpus for minutes at a time) degrades every size equally
+    // instead of poisoning one side of one pair.
+    if (mode != "child") { // children self-warm; in-proc needs a global JIT warmup
+      wallAt(8, warm = true)
+      wallAt(32, warm = true)
+    }
     val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "3").toInt
-    def measurePairs(nSmall: Int): IndexedSeq[(Double, Double)] =
-      (1 to rounds).map { _ =>
-        val wS = wallAt(nSmall, warm = true)
-        val wB = wallAt(nSmall * 4, warm = true)
-        (wS, wB)
-      }
-    val pairs4 = measurePairs(4)
-    val pairs = measurePairs(8)
+    val sizes = Seq(4, 16, 8, 32)
+    val walls: Map[Int, ArrayBuffer[Double]] =
+      sizes.map(_ -> new ArrayBuffer[Double]).toMap
+    for (_ <- 1 to rounds; c <- sizes) walls(c) += wallAt(c, warm = true)
+    val pairs4 = (0 until rounds).map(r => (walls(4)(r), walls(16)(r)))
+    val pairs = (0 until rounds).map(r => (walls(8)(r), walls(32)(r)))
     // ---- calibration: the engine alone (no Spark, no parquet decode) at
     // 8 vs 32 raw threads over precomputed in-memory docs — isolates the
     // compute-bound scaling from the I/O/decode share ----
@@ -168,11 +217,14 @@ object Bench {
          |The reference publishes no throughput numbers (BASELINE.md). The
          |authoritative target is the north rule's scaling criterion: the
          |SAME job on the SAME input at two parallelism levels N and 4N (no
-         |real cluster in this sandbox). Host-noise protocol: small/large
-         |runs interleaved in time, $rounds pairs per size, best wall on
-         |each side reported (this host shows 2x throughput swings
-         |minute-to-minute; narrow runs are mostly stable, wide runs absorb
-         |the noise).
+         |real cluster in this sandbox). Methodology (mode=$mode):
+         |each measurement runs in a FRESH child JVM with
+         |-XX:ActiveProcessorCount=N — GC/JIT/netty pools sized for N cores
+         |exactly like a real N-core executor — self-warmed with a full
+         |pass before timing. Host-noise protocol: all four sizes are
+         |interleaved WITHIN each of $rounds rounds (this host shows 2x
+         |throughput swings and multi-minute throttle windows; interleaving
+         |degrades every size equally), best wall per side reported.
          |
          |**Headline pair: N=4 -> 4N=16 cores.** Both sizes leave this
          |32-vCPU single-box VM headroom for the JVM's GC / Netty /
@@ -227,5 +279,29 @@ object Bench {
          |""".stripMargin
     Files.createDirectories(Paths.get("BENCH"))
     Files.writeString(Paths.get("BENCH/BASELINE.md"), md)
+  }
+}
+
+/** One scaling measurement in a core-count-sized JVM (see Bench.childWall):
+  * self-warms (small pass for JIT, then one full pass for steady-state JIT +
+  * page cache), then times exactly one full read->extract->count. */
+object BenchChild {
+  def main(args: Array[String]): Unit = {
+    val Array(corpusPath, nDocsS, cpusS) = args
+    val nDocs = nDocsS.toLong
+    val cpus = cpusS.toInt
+    val errs = new ArrayBuffer[String]
+    val program = RuleCompiler.compile(Seq(
+      RuleParser.parseStr(Corpus.headRules, errs),
+      RuleParser.parseStr(Corpus.corpusRules, errs)))
+    val s = Bench.session(cpus)
+    try {
+      ShadowSpark.processColumnar(s.read.parquet(corpusPath).limit(60000), program).count()
+      ShadowSpark.processColumnar(s.read.parquet(corpusPath), program).count()
+      val t0 = System.nanoTime()
+      val n = ShadowSpark.processColumnar(s.read.parquet(corpusPath), program).count()
+      require(n == nDocs, s"row count $n != $nDocs")
+      println(f"GRAFT_WALL=${(System.nanoTime() - t0) / 1e9}%.4f")
+    } finally s.stop()
   }
 }
