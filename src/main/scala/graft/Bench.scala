@@ -109,7 +109,13 @@ object Bench {
       * (in-process session cycling leaves all of those sized for the full
       * host, which flatters the small-N side — a 4-thread run backed by a
       * 32-core JVM gets 32-core GC). "inproc" keeps the old faster mode. */
-    val mode = sys.env.getOrElse("SPARK_GRAFT_BENCH_MODE", "child")
+    // default inproc: JIT warmup is amortized across all measurements and
+    // each sample is ~15s shorter, so a fixed number of rounds sees fewer
+    // host-throttle windows; child mode (fresh JVM per measurement with
+    // -XX:ActiveProcessorCount=N, modeling a real N-core executor) is the
+    // methodological cross-check — measured 2026-08-16: its per-child cold
+    // JIT + longer exposure cost more accuracy than the pool sizing won.
+    val mode = sys.env.getOrElse("SPARK_GRAFT_BENCH_MODE", "inproc")
     def wallAt(c: Int, warm: Boolean): Double =
       if (mode == "child") childWall(c, corpusPath, nDocs)
       else {
@@ -143,7 +149,7 @@ object Bench {
       wallAt(8, warm = true)
       wallAt(32, warm = true)
     }
-    val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "3").toInt
+    val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "4").toInt
     val sizes = Seq(4, 16, 8, 32)
     val walls: Map[Int, ArrayBuffer[Double]] =
       sizes.map(_ -> new ArrayBuffer[Double]).toMap
@@ -217,14 +223,15 @@ object Bench {
          |The reference publishes no throughput numbers (BASELINE.md). The
          |authoritative target is the north rule's scaling criterion: the
          |SAME job on the SAME input at two parallelism levels N and 4N (no
-         |real cluster in this sandbox). Methodology (mode=$mode):
-         |each measurement runs in a FRESH child JVM with
-         |-XX:ActiveProcessorCount=N — GC/JIT/netty pools sized for N cores
-         |exactly like a real N-core executor — self-warmed with a full
-         |pass before timing. Host-noise protocol: all four sizes are
-         |interleaved WITHIN each of $rounds rounds (this host shows 2x
-         |throughput swings and multi-minute throttle windows; interleaving
-         |degrades every size equally), best wall per side reported.
+         |real cluster in this sandbox). Measurement mode "$mode"
+         |(inproc = warmed sessions cycled in one JVM; child = a fresh JVM
+         |per measurement with -XX:ActiveProcessorCount=N sizing GC/JIT/
+         |netty pools like a real N-core executor — the cross-check mode;
+         |its cold-JIT cost per child proved noisier on this host).
+         |Host-noise protocol: all four sizes are interleaved WITHIN each
+         |of $rounds rounds (this host shows 2x throughput swings and
+         |multi-minute throttle windows — interleaving degrades every size
+         |equally), best wall per side reported (noise only ever subtracts).
          |
          |**Headline pair: N=4 -> 4N=16 cores.** Both sizes leave this
          |32-vCPU single-box VM headroom for the JVM's GC / Netty /
