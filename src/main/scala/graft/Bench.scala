@@ -101,14 +101,7 @@ object Bench {
       RuleParser.parseStr(Corpus.headRules, errs),
       RuleParser.parseStr(Corpus.corpusRules, errs)))
 
-    /** one measured wall of read->extract->count at the given parallelism.
-      *
-      * Default mode "child": the measurement runs in a FRESH child JVM with
-      * -XX:ActiveProcessorCount=c, so GC / JIT / netty / fork-join pools are
-      * sized for c cores exactly as they would be on a real c-core executor
-      * (in-process session cycling leaves all of those sized for the full
-      * host, which flatters the small-N side — a 4-thread run backed by a
-      * 32-core JVM gets 32-core GC). "inproc" keeps the old faster mode. */
+    // one measured wall of read->extract->count at the given parallelism.
     // default inproc: JIT warmup is amortized across all measurements and
     // each sample is ~15s shorter, so a fixed number of rounds sees fewer
     // host-throttle windows; child mode (fresh JVM per measurement with
@@ -266,7 +259,7 @@ object Bench {
          |
          |Span-equality pass rate: 100%% on the golden sample —
          |EngineGoldenSpec re-encodes the reference's own tests byte-exact
-         |(incl. 100 B/10 B chunking and media interleave), and 41 of the
+         |(incl. 100 B/10 B chunking and media interleave), and 44 of the
          |SparkEntry queries are DuckDB-oracled end-to-end (the oracle
          |reconstructs the engine's full rewritten HTML + extraction JSON by
          |string concatenation).

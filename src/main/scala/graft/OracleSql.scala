@@ -1,0 +1,154 @@
+package graft
+
+/** Generated DuckDB oracle SQL for the sketch-based dedup queries.
+  *
+  * dd2 (MinHash+LSH) and dd3 (SimHash) hash with splitmix64 over FNV token/
+  * shingle fingerprints (graft.functions.Hashing). DuckDB has no 64-bit
+  * wrapping multiply, so the oracle replays the arithmetic exactly:
+  *  - values are carried as HUGEINT in [0, 2^64);
+  *  - xor / logical shifts run on UBIGINT (bit-pattern faithful);
+  *  - `a * c mod 2^64` splits the CONSTANT c into 32-bit halves so every
+  *    intermediate stays under 2^97 (HUGEINT-safe);
+  *  - each splitmix64 round is one chained CTE stage, keeping the SQL
+  *    linear instead of exponentially nested;
+  *  - the 64 per-permutation constants splitmix64(j * 0x2545F4914F6CDD1D)
+  *    are precomputed here and inlined as a VALUES list.
+  * Signed-Long semantics that must survive the replay: MinHash's `v <
+  * sig(j)` is a SIGNED compare (re-sign before MIN); band keys / simhash
+  * join on bit patterns (equality is sign-agnostic); simhash's 16-bit
+  * chunks mask an arithmetic shift (same as logical shift once masked).
+  */
+object OracleSql {
+
+  private val P64 = "CAST('18446744073709551616' AS HUGEINT)"
+  private val C0 = java.lang.Long.parseUnsignedLong("9e3779b97f4a7c15", 16)
+  private val C1 = java.lang.Long.parseUnsignedLong("bf58476d1ce4e5b9", 16)
+  private val C2 = java.lang.Long.parseUnsignedLong("94d049bb133111eb", 16)
+  private val FnvH0 = java.lang.Long.parseUnsignedLong("cbf29ce484222325", 16)
+  private val FnvP = 1099511628211L
+
+  private def unsignedStr(x: Long): String = java.lang.Long.toUnsignedString(x)
+  private def hu(x: Long): String = s"CAST('${unsignedStr(x)}' AS HUGEINT)"
+  private def u(x: String): String = s"CAST($x AS UBIGINT)"
+  private def xoru(a: String, b: String): String =
+    s"CAST(xor(${u(a)}, ${u(b)}) AS HUGEINT)"
+  private def shr(a: String, n: Int): String = s"CAST((${u(a)} >> $n) AS HUGEINT)"
+  private def mulmod(a: String, c: Long): String = {
+    val chi = java.lang.Long.divideUnsigned(c, 4294967296L)
+    val clo = java.lang.Long.remainderUnsigned(c, 4294967296L)
+    s"((($a)*$clo) + ((((($a)*$chi) % 4294967296) * 4294967296)) ) % $P64"
+  }
+  /** The four splitmix64 rounds as expressions over a column named z. */
+  private val smStages: Seq[String => String] = Seq(
+    z => s"(($z) + ${hu(C0)}) % $P64",
+    z => mulmod(xoru(z, shr(z, 30)), C1),
+    z => mulmod(xoru(z, shr(z, 27)), C2),
+    z => xoru(z, shr(z, 31)),
+  )
+  private def fnv(s: String): String =
+    s"list_reduce(list_prepend(${hu(FnvH0)}, " +
+      s"list_transform(string_split($s,''), c -> CAST(unicode(c) AS HUGEINT))), " +
+      s"(acc,c) -> (acc*$FnvP + c) % $P64)"
+
+  private def sm64Scala(x0: Long): Long = {
+    var z = x0 + C0
+    z = (z ^ (z >>> 30)) * C1
+    z = (z ^ (z >>> 27)) * C2
+    z ^ (z >>> 31)
+  }
+
+  /** dd3_simhash: per-token FNV -> splitmix64 -> 64 bit-majority counters ->
+    * 16-bit chunk blocking -> distinct candidate pairs with hamming. */
+  def dd3Simhash: String = {
+    val cnts = (0 until 64).map(b =>
+      s"SUM(CASE WHEN (${u("z")} >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS c$b").mkString(", ")
+    val shsum = (0 until 64).map(b =>
+      s"CASE WHEN c$b > 0 THEN ${hu(1L << b)} ELSE CAST(0 AS HUGEINT) END").mkString(" + ")
+    s"""WITH toks AS (SELECT doc_id, unnest(list_filter(string_split(text,' '), t -> t <> '')) AS t FROM documents),
+f AS (SELECT doc_id, ${fnv("t")} AS z FROM toks),
+s0 AS (SELECT doc_id, ${smStages(0)("z")} AS z FROM f),
+s1 AS (SELECT doc_id, ${smStages(1)("z")} AS z FROM s0),
+s2 AS (SELECT doc_id, ${smStages(2)("z")} AS z FROM s1),
+s3 AS (SELECT doc_id, ${smStages(3)("z")} AS z FROM s2),
+cnt AS (SELECT doc_id, $cnts FROM s3 GROUP BY doc_id),
+sh AS (SELECT doc_id, ($shsum) AS shu FROM cnt),
+chunks AS (SELECT doc_id, shu, ci, CAST((${u("shu")} >> (16*ci)) & 65535 AS BIGINT) AS ck
+           FROM sh CROSS JOIN (SELECT unnest([0,1,2,3]) AS ci)),
+pairs AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+   CAST(bit_count(xor(${u("a.shu")}, ${u("b.shu")})) AS INT) AS hamming
+   FROM chunks a JOIN chunks b ON a.ci = b.ci AND a.ck = b.ck AND a.doc_id < b.doc_id)
+SELECT id1, id2, hamming FROM pairs ORDER BY id1, id2"""
+  }
+
+  /** ann3_lsh_topk: sign-LSH bucket replay. The hyperplane components
+    * (r >> 11) / 2^52 with r = splitmix64(seed ^ p<<32 ^ i) are 512
+    * deterministic doubles, inlined via Double.toString (exact round-trip);
+    * the per-plane dot folds left over double-cast floats in both engines,
+    * so the sign — and therefore the bucket — is bit-identical. Probes =
+    * query bucket + all 1-bit flips (Ann.lshTopK defaults planes=8,
+    * probeBits=1, seed=42, query = vec_id 0, k=10). */
+  def ann3LshTopK: String = {
+    val planes = 8; val dim = 64; val seed = 42L
+    def compList(p: Int): String =
+      (0 until dim).map { i =>
+        val r = sm64Scala(seed ^ (p.toLong << 32) ^ i.toLong)
+        java.lang.Double.toString((r >> 11).toDouble / (1L << 52).toDouble)
+      }.mkString("[", ", ", "]")
+    val bucketSum = (0 until planes).map(p =>
+      s"CASE WHEN list_dot_product(vd, ${compList(p)}) >= 0 THEN ${1L << p} ELSE 0 END")
+      .mkString(" + ")
+    val masks = (0 +: (0 until planes).map(1 << _)).mkString("[", ", ", "]")
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd FROM embeddings),
+bkt AS (SELECT vec_id, vd, ($bucketSum) AS bucket FROM e),
+qb AS (SELECT bucket AS qbucket, vd AS qv, sqrt(list_dot_product(vd, vd)) AS nq FROM bkt WHERE vec_id = 0),
+probes AS (SELECT CAST(xor(CAST(qbucket AS UBIGINT), CAST(m AS UBIGINT)) AS BIGINT) AS pb
+           FROM qb CROSS JOIN (SELECT unnest($masks) AS m))
+SELECT vec_id FROM (
+  SELECT b.vec_id, list_dot_product(b.vd, q.qv) / (sqrt(list_dot_product(b.vd, b.vd)) * q.nq) AS score
+  FROM bkt b, qb q WHERE b.bucket IN (SELECT pb FROM probes))
+ORDER BY score DESC, vec_id LIMIT 10"""
+  }
+
+  /** dd2_minhash_lsh: w=3 token shingles (short docs: whole text) -> FNV ->
+    * 64 permutations via xor with precomputed splitmix64(j*K) -> signed MIN
+    * per (doc, j) -> 16 bands of 4 folded with splitmix64 -> band-bucket
+    * join -> distinct candidate pairs. */
+  def dd2MinhashLsh: String = {
+    val smj = (0 until 64)
+      .map(j => sm64Scala(j.toLong * java.lang.Long.parseUnsignedLong("2545F4914F6CDD1D", 16)))
+    val smjVals = smj.zipWithIndex
+      .map { case (v, j) => s"($j, ${hu(v)})" }.mkString(", ")
+    val bandCtes = new StringBuilder
+    var prev = "b0"
+    for (s <- 0 until 4) {
+      val x = xoru("p.z", s"(CASE WHEN g.sig < 0 THEN g.sig + $P64 ELSE CAST(g.sig AS HUGEINT) END)")
+      bandCtes ++= s"bx$s AS (SELECT p.doc_id, p.i, $x AS z FROM $prev p JOIN sig g ON g.doc_id = p.doc_id AND g.j = 4*p.i + $s),\n"
+      var cur = s"bx$s"
+      for (st <- 0 until 4) {
+        val nxt = s"b${s}_$st"
+        bandCtes ++= s"$nxt AS (SELECT doc_id, i, ${smStages(st)("z")} AS z FROM $cur),\n"
+        cur = nxt
+      }
+      prev = cur
+    }
+    val bands = bandCtes.toString.stripSuffix(",\n")
+    s"""WITH base AS (SELECT doc_id, text, list_filter(string_split(text,' '), t -> t <> '') AS toks FROM documents),
+shing AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 3
+    THEN list_transform(range(1, len(toks)-1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ')
+    ELSE [text] END) AS s FROM base),
+f AS (SELECT doc_id, ${fnv("s")} AS h FROM shing),
+v AS (SELECT doc_id, ${xoru("h", "smj")} AS z, j FROM f CROSS JOIN (VALUES $smjVals) AS t(j, smj)),
+v0 AS (SELECT doc_id, j, ${smStages(0)("z")} AS z FROM v),
+v1 AS (SELECT doc_id, j, ${smStages(1)("z")} AS z FROM v0),
+v2 AS (SELECT doc_id, j, ${smStages(2)("z")} AS z FROM v1),
+v3 AS (SELECT doc_id, j, ${smStages(3)("z")} AS z FROM v2),
+sig AS (SELECT doc_id, j, MIN(CAST(CASE WHEN z >= CAST('9223372036854775808' AS HUGEINT)
+    THEN z - $P64 ELSE z END AS BIGINT)) AS sig FROM v3 GROUP BY doc_id, j),
+b0 AS (SELECT doc_id, i, ${xoru(hu(FnvH0), "i")} AS z
+       FROM (SELECT DISTINCT doc_id FROM sig) CROSS JOIN (SELECT unnest(range(16)) AS i)),
+$bands
+SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+FROM $prev a JOIN $prev b ON a.i = b.i AND a.z = b.z AND a.doc_id < b.doc_id
+ORDER BY id1, id2"""
+  }
+}

@@ -585,6 +585,11 @@ object SparkEntry {
         "(SELECT sqrt(list_dot_product(qv, qv)) FROM qd)) AS score FROM embeddings) " +
         "ORDER BY score DESC, vec_id LIMIT 10"),
 
+    // splitmix64-faithful replays of the sketch dedups (see graft.OracleSql)
+    "dd2_minhash_lsh" -> OracleSql.dd2MinhashLsh,
+    "dd3_simhash" -> OracleSql.dd3Simhash,
+    "ann3_lsh_topk" -> OracleSql.ann3LshTopK,
+
     // IVF replay (see Ann.ivfTopK): codebook = quantized vectors of the 8
     // lowest vec_ids; assignment = integer argmin of |c|^2 - 2*dot(v,c)
     // (ties -> lowest cell); probe the 2 cells nearest the query; rank by
