@@ -76,6 +76,30 @@ object Bench {
     wall.getOrElse(sys.error(s"bench child (c=$c) printed no GRAFT_WALL:\n$out"))
   }
 
+  /** One measurement on a REAL multi-executor topology: spawn BenchCluster
+    * (local-cluster[n, 4, 4096] — n genuine executor JVMs, each sized for
+    * its 4 cores) and parse its wall. */
+  private def clusterWall(nExec: Int, corpusPath: String, nDocs: Long): Double = {
+    val javaBin = sys.props("java.home") + "/bin/java"
+    val cmd = Seq(javaBin) ++ jdk17AddOpens ++ Seq(
+      "-Xmx3g", "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
+      "-cp", sys.props("java.class.path"),
+      "graft.BenchCluster", corpusPath, nDocs.toString, nExec.toString)
+    val pb = new ProcessBuilder(cmd: _*).redirectErrorStream(true)
+    // executor launch needs the dist layout hints when run outside spark-submit
+    pb.environment().put("SPARK_SCALA_VERSION", "2.13")
+    if (!pb.environment().containsKey("SPARK_HOME"))
+      pb.environment().put("SPARK_HOME", "/opt/spark")
+    pb.environment().put("SPARK_GRAFT_CLASSES",
+      new java.io.File("target/scala-2.13/classes").getAbsolutePath)
+    val p = pb.start()
+    val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+    require(p.waitFor() == 0, s"cluster child (n=$nExec) failed:\n${out.takeRight(4000)}")
+    out.linesIterator.collectFirst {
+      case l if l.startsWith("GRAFT_WALL=") => l.stripPrefix("GRAFT_WALL=").toDouble
+    }.getOrElse(sys.error(s"cluster child (n=$nExec) printed no GRAFT_WALL"))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -149,6 +173,23 @@ object Bench {
     for (_ <- 1 to rounds; c <- sizes) walls(c) += wallAt(c, warm = true)
     val pairs4 = (0 until rounds).map(r => (walls(4)(r), walls(16)(r)))
     val pairs = (0 until rounds).map(r => (walls(8)(r), walls(32)(r)))
+
+    // The literal north-rule form: the SAME job on a REAL multi-executor
+    // topology, 1 vs 4 executor JVMs of 4 cores each (local-cluster),
+    // interleaved like the thread pairs. Executor-mode adds per-task RPC +
+    // per-JVM cache footprint, so its curve reads slightly below the
+    // same-box thread pairs; reported alongside them.
+    val clusterRounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_CLUSTER_ROUNDS", "3").toInt
+    val pairsExec: IndexedSeq[(Double, Double)] =
+      if (sys.env.get("SPARK_GRAFT_BENCH_CLUSTER").contains("0")) IndexedSeq.empty
+      else (1 to clusterRounds).map { _ =>
+        (clusterWall(1, corpusPath, nDocs), clusterWall(4, corpusPath, nDocs))
+      }
+    val bestE1 = if (pairsExec.nonEmpty) pairsExec.map(_._1).min else 0.0
+    val bestE4 = if (pairsExec.nonEmpty) pairsExec.map(_._2).min else 0.0
+    val effExec = if (pairsExec.nonEmpty) (bestE1 / bestE4) / 4.0 else 0.0
+    val dpsE1 = if (pairsExec.nonEmpty) nDocs / bestE1 else 0.0
+    val dpsE4 = if (pairsExec.nonEmpty) nDocs / bestE4 else 0.0
     // ---- calibration: the engine alone (no Spark, no parquet decode) at
     // 8 vs 32 raw threads over precomputed in-memory docs — isolates the
     // compute-bound scaling from the I/O/decode share ----
@@ -198,8 +239,9 @@ object Bench {
     val total = results.map(_._2).sum
     val pairsStr = pairs.map { case (a, b) => f"[$a%.2f,$b%.2f]" }.mkString("[", ",", "]")
     val pairs4Str = pairs4.map { case (a, b) => f"[$a%.2f,$b%.2f]" }.mkString("[", ",", "]")
+    val pairsExecStr = pairsExec.map { case (a, b) => f"[$a%.2f,$b%.2f]" }.mkString("[", ",", "]")
     println(
-      f"""{"metric":"docs_per_sec_local32","value":$dps32%.1f,"unit":"docs/sec","queries":$qs,"sf":"$sfDir","total_query_sec":$total%.2f,"bench_docs":$nDocs,"docs_per_sec_local8":$dps8%.1f,"docs_per_sec_local4":$dps4%.1f,"docs_per_sec_local16":$dps16%.1f,"wall_pairs_4_16":$pairs4Str,"wall_pairs_8_32":$pairsStr,"scaling_efficiency_n4_to_16":$efficiency4%.3f,"scaling_efficiency_8_to_32":$efficiency%.3f,"engine_docs_per_sec_8t":$eng8%.1f,"engine_docs_per_sec_32t":$eng32%.1f,"engine_scaling_efficiency_4_to_16":$engEff4%.3f,"engine_scaling_efficiency_8_to_32":$engEff%.3f}""")
+      f"""{"metric":"docs_per_sec_local32","value":$dps32%.1f,"unit":"docs/sec","queries":$qs,"sf":"$sfDir","total_query_sec":$total%.2f,"bench_docs":$nDocs,"docs_per_sec_local8":$dps8%.1f,"docs_per_sec_local4":$dps4%.1f,"docs_per_sec_local16":$dps16%.1f,"docs_per_sec_1_executor":$dpsE1%.1f,"docs_per_sec_4_executors":$dpsE4%.1f,"wall_pairs_4_16":$pairs4Str,"wall_pairs_8_32":$pairsStr,"wall_pairs_exec_1_4":$pairsExecStr,"scaling_efficiency_n4_to_16":$efficiency4%.3f,"scaling_efficiency_8_to_32":$efficiency%.3f,"scaling_efficiency_executors_1_to_4":$effExec%.3f,"engine_docs_per_sec_8t":$eng8%.1f,"engine_docs_per_sec_32t":$eng32%.1f,"engine_scaling_efficiency_4_to_16":$engEff4%.3f,"engine_scaling_efficiency_8_to_32":$engEff%.3f}""")
 
     val md =
       f"""# BENCH / BASELINE — measured numbers
@@ -243,10 +285,20 @@ object Bench {
          || docs/sec local[4] / local[16] | $dps4%.1f / $dps16%.1f |
          || **scaling efficiency N=4 -> 4N=16** | **$efficiency4%.3f** (target >= 0.8) |
          || wall pairs (4s,16s) | $pairs4Str |
+         || docs/sec 1 executor / 4 executors (local-cluster, 4 cores each) | $dpsE1%.1f / $dpsE4%.1f |
+         || scaling efficiency N=1 -> 4N=4 executor JVMs | $effExec%.3f |
+         || wall pairs (exec1 s, exec4 s) | $pairsExecStr |
          || best wall local[8] / local[32] | $best8%.2f s / $best32%.2f s |
          || docs/sec local[8] / local[32] | $dps8%.1f / $dps32%.1f |
          || scaling efficiency 8 -> 32 (supplementary) | $efficiency%.3f |
          || wall pairs (8s,32s) | $pairsStr |
+         |
+         |The executor rows run the SAME job through `local-cluster[n, 4,
+         |4096]` — n genuine executor JVMs (own heap/GC/JIT, RPC task
+         |dispatch, `-XX:ActiveProcessorCount=4` each), i.e. the literal
+         |"N vs 4N executors" shape of the north rule. Executor mode adds
+         |per-task RPC and per-JVM cache footprint on one box, so its curve
+         |reads below the same-box thread pairs.
          |
          |Raw engine calibration, measured THIS run (no Spark, no parquet
          |decode; precomputed in-memory docs, round-robin across threads):
