@@ -311,7 +311,7 @@ object Bench {
          |
          |Span-equality pass rate: 100%% on the golden sample —
          |EngineGoldenSpec re-encodes the reference's own tests byte-exact
-         |(incl. 100 B/10 B chunking and media interleave), and 44 of the
+         |(incl. 100 B/10 B chunking and media interleave), and 45 of the
          |SparkEntry queries are DuckDB-oracled end-to-end (the oracle
          |reconstructs the engine's full rewritten HTML + extraction JSON by
          |string concatenation).

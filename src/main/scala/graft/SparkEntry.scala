@@ -441,6 +441,25 @@ object SparkEntry {
         }
       }.toDF("doc_id", "content").orderBy("doc_id")
     }),
+    // composite training-data pipeline: quality gate -> exact dedup ->
+    // language mix of the survivors; every stage reuses an operator that is
+    // independently oracled. Integer-only predicates (n_punct*10 <= n_chars)
+    // so the external replay is exact. Scale: quality/langId live in the
+    // scan projection (no shuffle); dedup is one hash-agg shuffle on
+    // xxhash64(text); the final agg is a 5-group hash-agg.
+    "pipe1_quality_dedup_langmix" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      val q = TextStats.quality(docs).select(col("doc_id"), col("n_chars"),
+        col("n_tokens"), col("n_punct"))
+      val keep = Dedup.exactKeepIds(docs).select(col("doc_id"))
+      val lang = TextStats.langId(docs).select(col("doc_id"), col("lang_pred"))
+      keep.join(q, "doc_id").join(lang, "doc_id")
+        .where(col("n_tokens") >= 20 && col("n_punct") * 10 <= col("n_chars"))
+        .groupBy(col("lang_pred"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+        .orderBy("lang_pred")
+    }),
+
     "bp2_main_content_corpus" -> ((s, dir) => {
       import s.implicits._
       Corpus.generate(s, 500, 8).mapPartitions { it =>
@@ -584,6 +603,32 @@ object SparkEntry {
         "(sqrt(list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)), list_transform(embedding, x -> CAST(x AS DOUBLE)))) * " +
         "(SELECT sqrt(list_dot_product(qv, qv)) FROM qd)) AS score FROM embeddings) " +
         "ORDER BY score DESC, vec_id LIMIT 10"),
+
+    "pipe1_quality_dedup_langmix" ->
+      ("WITH keep AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text), " +
+        "q AS (SELECT doc_id, length(text) AS n_chars, len(string_split(text,' ')) AS n_tokens, " +
+        "length(text) - length(regexp_replace(text,'[.,;:!?]','','g')) AS n_punct FROM documents), " +
+        "scored AS (SELECT doc_id, " +
+        "len(list_filter(string_split(text,' '), t -> t IN ('the','and','of','to','in','is','that','it','was','for'))) AS s_en, " +
+        "len(list_filter(string_split(text,' '), t -> t IN ('der','die','das','und','ist','nicht','ein','mit','auf','zu'))) AS s_de, " +
+        "len(list_filter(string_split(text,' '), t -> t IN ('le','la','les','et','de','un','une','est','dans','que'))) AS s_fr, " +
+        "len(list_filter(string_split(text,' '), t -> t IN ('el','la','los','y','de','un','una','es','en','que'))) AS s_es, " +
+        "len(list_filter(string_split(text,' '), t -> t IN ('的','是','了','在','我','有','和','不','人','这'))) " +
+        "+ 2*(CASE WHEN contains(text,'的') THEN 1 ELSE 0 END) + 2*(CASE WHEN contains(text,'是') THEN 1 ELSE 0 END) " +
+        "+ 2*(CASE WHEN contains(text,'了') THEN 1 ELSE 0 END) + 2*(CASE WHEN contains(text,'在') THEN 1 ELSE 0 END) " +
+        "+ 2*(CASE WHEN contains(text,'我') THEN 1 ELSE 0 END) + 2*(CASE WHEN contains(text,'有') THEN 1 ELSE 0 END) " +
+        "+ 2*(CASE WHEN contains(text,'和') THEN 1 ELSE 0 END) + 2*(CASE WHEN contains(text,'不') THEN 1 ELSE 0 END) " +
+        "+ 2*(CASE WHEN contains(text,'人') THEN 1 ELSE 0 END) + 2*(CASE WHEN contains(text,'这') THEN 1 ELSE 0 END) AS s_zh " +
+        "FROM documents), " +
+        "lang AS (SELECT doc_id, CASE " +
+        "WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en >= s_zh THEN 'en' " +
+        "WHEN s_de >= s_fr AND s_de >= s_es AND s_de >= s_zh THEN 'de' " +
+        "WHEN s_fr >= s_es AND s_fr >= s_zh THEN 'fr' " +
+        "WHEN s_es >= s_zh THEN 'es' ELSE 'zh' END AS lang_pred FROM scored) " +
+        "SELECT l.lang_pred, count(*) AS n_docs, CAST(sum(q.n_tokens) AS BIGINT) AS sum_tokens " +
+        "FROM keep k JOIN q ON q.doc_id = k.doc_id JOIN lang l ON l.doc_id = k.doc_id " +
+        "WHERE q.n_tokens >= 20 AND q.n_punct*10 <= q.n_chars " +
+        "GROUP BY 1 ORDER BY 1"),
 
     // splitmix64-faithful replays of the sketch dedups (see graft.OracleSql)
     "dd2_minhash_lsh" -> OracleSql.dd2MinhashLsh,
