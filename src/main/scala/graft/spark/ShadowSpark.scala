@@ -65,6 +65,7 @@ object ShadowSpark {
       val engine = new ShadowEngine(bc.value)
       var buf = new Array[Byte](16384) // per-task reusable byte scratch
       val markers = new scala.collection.mutable.ArrayBuffer[graft.html.HtmlParser.MediaMarker](8)
+      val utf8 = java.nio.charset.StandardCharsets.UTF_8
       it.map { row =>
         val docId = row.getUTF8String(0).toString
         val arr = row.getArray(1)
@@ -76,22 +77,67 @@ object ShadowSpark {
         // times. Media markers record BYTE positions first and are remapped
         // to UTF-16 char positions in one pass (only for docs with media).
         var bytePos = 0
-        var i = 0
-        while (i < n) {
-          val st = arr.getStruct(i, 4)
-          val kind = st.getUTF8String(0)
-          if (kind == kindMedia) {
-            markers += graft.html.HtmlParser.MediaMarker(
-              bytePos, st.getUTF8String(2).toString, st.getUTF8String(1).toString)
-          } else {
-            val u = st.getUTF8String(1)
-            val nb = u.numBytes()
-            if (bytePos + nb > buf.length)
-              buf = java.util.Arrays.copyOf(buf, math.max(buf.length * 2, bytePos + nb))
-            u.writeTo(java.nio.ByteBuffer.wrap(buf, bytePos, nb))
-            bytePos += nb
-          }
-          i += 1
+        arr match {
+          case ua: org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+              if ua.getBaseObject.isInstanceOf[Array[Byte]] =>
+            // Raw-layout fast path: the generic accessors allocate a wrapper
+            // per struct element and per string field (~4 per span, ~120 per
+            // doc) — at 350k docs/s that wrapper churn alone is >1 GB/s of
+            // garbage and is what keeps the decode half from scaling. Read
+            // the UnsafeArrayData layout directly instead:
+            //   [numElements:8][null bits: ceil(n/64)*8][n x 8B (off<<32|sz)]
+            // struct element -> UnsafeRow bytes at arrayBase+off:
+            //   [null bits: 8][4 x 8B slots]; string slots hold off<<32|sz
+            //   relative to the STRUCT start; int slot holds the value.
+            val base = ua.getBaseObject.asInstanceOf[Array[Byte]]
+            val a0 = ua.getBaseOffset
+            val elems = a0 + 8 + (((n + 63) / 64) * 8)
+            val B = org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET
+            var i = 0
+            while (i < n) {
+              val os = org.apache.spark.unsafe.Platform.getLong(base, elems + i * 8L)
+              val st = a0 + (os >>> 32) // struct base (absolute)
+              def fieldOff(f: Int): Long =
+                org.apache.spark.unsafe.Platform.getLong(base, st + 8 + f * 8L)
+              val kOs = fieldOff(0)
+              val kLen = kOs.toInt
+              val kIdx = (st + (kOs >>> 32) - B).toInt
+              val isMedia = kLen == 5 && base(kIdx) == 'm' && base(kIdx + 1) == 'e' &&
+                base(kIdx + 2) == 'd' && base(kIdx + 3) == 'i' && base(kIdx + 4) == 'a'
+              val tOs = fieldOff(1)
+              val tLen = tOs.toInt
+              val tIdx = (st + (tOs >>> 32) - B).toInt
+              if (isMedia) {
+                val rOs = fieldOff(2)
+                markers += graft.html.HtmlParser.MediaMarker(bytePos,
+                  new String(base, (st + (rOs >>> 32) - B).toInt, rOs.toInt, utf8),
+                  new String(base, tIdx, tLen, utf8))
+              } else {
+                if (bytePos + tLen > buf.length)
+                  buf = java.util.Arrays.copyOf(buf, math.max(buf.length * 2, bytePos + tLen))
+                System.arraycopy(base, tIdx, buf, bytePos, tLen)
+                bytePos += tLen
+              }
+              i += 1
+            }
+          case _ =>
+            var i = 0
+            while (i < n) {
+              val st = arr.getStruct(i, 4)
+              val kind = st.getUTF8String(0)
+              if (kind == kindMedia) {
+                markers += graft.html.HtmlParser.MediaMarker(
+                  bytePos, st.getUTF8String(2).toString, st.getUTF8String(1).toString)
+              } else {
+                val u = st.getUTF8String(1)
+                val nb = u.numBytes()
+                if (bytePos + nb > buf.length)
+                  buf = java.util.Arrays.copyOf(buf, math.max(buf.length * 2, bytePos + nb))
+                u.writeTo(java.nio.ByteBuffer.wrap(buf, bytePos, nb))
+                bytePos += nb
+              }
+              i += 1
+            }
         }
         if (markers.nonEmpty) {
           // byte offset -> UTF-16 char offset: count non-continuation bytes,
