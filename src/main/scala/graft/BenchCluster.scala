@@ -46,7 +46,9 @@ object BenchCluster {
       val program = RuleCompiler.compile(Seq(
         RuleParser.parseStr(Corpus.headRules, errs),
         RuleParser.parseStr(Corpus.corpusRules, errs)))
-      // warmup: JIT in every executor + page cache
+      // warmup x2: each executor has only one C2 compiler thread at
+      // ActiveProcessorCount=4, so a single pass can leave a JIT backlog
+      ShadowSpark.processColumnar(s.read.parquet(corpusPath), program).count()
       ShadowSpark.processColumnar(s.read.parquet(corpusPath), program).count()
       val t0 = System.nanoTime()
       val n = ShadowSpark.processColumnar(s.read.parquet(corpusPath), program).count()
