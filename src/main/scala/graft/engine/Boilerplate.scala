@@ -62,46 +62,71 @@ object Boilerplate {
       sb.setLength(0); words = 0; linkWords = 0
     }
 
-    def walk(node: Int): Unit = {
-      a.kind(node) match {
-        case a.nElem =>
-          val tag = a.name(node)
-          if (!skipTags.contains(tag)) {
-            val isBlock = blockTags.contains(tag)
-            if (isBlock) { flush(); blockStartNode = node }
-            val isAnchor = tag == "a"
-            if (isAnchor) anchorDepth += 1
-            var c = a.firstChild(node)
-            while (c != -1) { walk(c); c = a.nextSibling(c) }
-            if (isAnchor) anchorDepth -= 1
-            if (isBlock) flush()
-          }
-        case a.nText =>
-          val s = a.rawS(node); val e = a.rawE(node)
-          val w = countWords(a.src, s, e)
-          if (w > 0) {
-            if (sb.length > 0) sb.append(' ')
-            // normalized whitespace append
-            var i = s; var pendingSpace = false; var started = false
-            while (i < e) {
-              val c = a.src.charAt(i)
-              val ws = c == ' ' || c == '\n' || c == '\t' || c == '\r' || c == '\f'
-              if (ws) { if (started) pendingSpace = true }
-              else {
-                if (pendingSpace) { sb.append(' '); pendingSpace = false }
-                sb.append(c); started = true
-              }
-              i += 1
+    // iterative DFS (crawled HTML nests arbitrarily deep; call recursion
+    // would StackOverflow the task — same rationale as Engine's walks)
+    def enter(node: Int): Boolean = a.kind(node) match { // returns: descend?
+      case a.nElem =>
+        val tag = a.name(node)
+        if (skipTags.contains(tag)) false
+        else {
+          if (blockTags.contains(tag)) { flush(); blockStartNode = node }
+          if (tag == "a") anchorDepth += 1
+          true
+        }
+      case a.nText =>
+        val s = a.rawS(node); val e = a.rawE(node)
+        val w = countWords(a.src, s, e)
+        if (w > 0) {
+          if (sb.length > 0) sb.append(' ')
+          // normalized whitespace append
+          var i = s; var pendingSpace = false; var started = false
+          while (i < e) {
+            val c = a.src.charAt(i)
+            val ws = c == ' ' || c == '\n' || c == '\t' || c == '\r' || c == '\f'
+            if (ws) { if (started) pendingSpace = true }
+            else {
+              if (pendingSpace) { sb.append(' '); pendingSpace = false }
+              sb.append(c); started = true
             }
-            words += w
-            if (anchorDepth > 0) linkWords += w
+            i += 1
           }
-        case _ =>
-          var c = a.firstChild(node)
-          while (c != -1) { walk(c); c = a.nextSibling(c) }
+          words += w
+          if (anchorDepth > 0) linkWords += w
+        }
+        true
+      case _ => true
+    }
+
+    def exit(node: Int): Unit =
+      if (a.kind(node) == a.nElem) {
+        val tag = a.name(node)
+        if (!skipTags.contains(tag)) {
+          if (tag == "a") anchorDepth -= 1
+          if (blockTags.contains(tag)) flush()
+        }
+      }
+
+    {
+      var node = 0
+      var desc = enter(node)
+      var done = false
+      while (!done) {
+        val c = if (desc) a.firstChild(node) else -1
+        if (c != -1) { node = c; desc = enter(node) }
+        else {
+          exit(node)
+          var climbing = true
+          while (climbing) {
+            if (node == 0) { climbing = false; done = true }
+            else {
+              val s = a.nextSibling(node)
+              if (s != -1) { node = s; desc = enter(node); climbing = false }
+              else { node = a.parent(node); exit(node) }
+            }
+          }
+        }
       }
     }
-    walk(0)
     flush()
     out.toVector
   }

@@ -173,7 +173,15 @@ final class ShadowEngine(program: RuleProgram) extends Serializable {
         // The reference would panic (process crash); we record and move on.
         errors += s"[engine] ${e.getMessage}"
         DocOut(docId, Seq.empty, "", errors.toSeq)
-      case e: Exception =>
+      case e: StackOverflowError =>
+        // Engine traversal is iterative (heap stacks), but residual deep
+        // recursion (e.g. a pathological data tree in the JSON serializer)
+        // must degrade to an error ROW, not kill the executor task: a
+        // StackOverflowError is an Error, so a plain Exception guard would
+        // let one adversarial crawled document fail the job after retries.
+        errors += "[engine] internal error: StackOverflowError: document exceeds depth limits"
+        DocOut(docId, Seq.empty, "", errors.toSeq)
+      case scala.util.control.NonFatal(e) =>
         errors += s"[engine] internal error: ${e.getClass.getSimpleName}: ${e.getMessage}"
         DocOut(docId, Seq.empty, "", errors.toSeq)
     }
@@ -381,74 +389,102 @@ final class ShadowEngine(program: RuleProgram) extends Serializable {
     }
 
     // ---- document-order traversal replaying lol_html handler dispatch ----
+    // ITERATIVE (explicit heap stacks, not call recursion): crawled HTML can
+    // nest arbitrarily deep, and a StackOverflowError would kill the task
+    // (and after 4 retries, the job) instead of producing an error row.
     val scratchRules = new ArrayBuffer[Int](8) // reused per text node
-    def walk(node: Int): Unit = {
-      a.kind(node) match {
-        case a.nElem =>
-          var endActions: ArrayBuffer[() => Unit] = null // lazy: most elements match nothing
-          def actions(): ArrayBuffer[() => Unit] = {
-            if (endActions == null) endActions = new ArrayBuffer[() => Unit](2)
-            endActions
+    val elemMarks = new ArrayBuffer[Int](32) // activeTextRules length at enter
+    val elemActs = new ArrayBuffer[ArrayBuffer[() => Unit]](32) // endActions per open elem
+
+    def enterWalk(node: Int): Unit = a.kind(node) match {
+      case a.nElem =>
+        elemMarks += activeTextRules.length
+        var endActions: ArrayBuffer[() => Unit] = null // lazy: most elements match nothing
+        def actions(): ArrayBuffer[() => Unit] = {
+          if (endActions == null) endActions = new ArrayBuffer[() => Unit](2)
+          endActions
+        }
+        val tagged = { val t = rulesByTag.get(a.name(node)); if (t == null) noRules else t }
+        var i = 0; var j = 0
+        while (i < tagged.length || j < wildcardRules.length) {
+          val ri =
+            if (j >= wildcardRules.length || (i < tagged.length && tagged(i) < wildcardRules(j))) {
+              i += 1; tagged(i - 1)
+            } else { j += 1; wildcardRules(j - 1) }
+          val rule = rules(ri)
+          if (SelectorMatcher.matches(a, node, rule.selector)) {
+            if (rule.useElementHandler) elementHandler(rule, node, actions())
+            if (rule.useTextHandler) activeTextRules += ri
           }
-          val textMark = activeTextRules.length
-          val tagged = { val t = rulesByTag.get(a.name(node)); if (t == null) noRules else t }
-          var i = 0; var j = 0
-          while (i < tagged.length || j < wildcardRules.length) {
-            val ri =
-              if (j >= wildcardRules.length || (i < tagged.length && tagged(i) < wildcardRules(j))) {
-                i += 1; tagged(i - 1)
-              } else { j += 1; wildcardRules(j - 1) }
-            val rule = rules(ri)
-            if (SelectorMatcher.matches(a, node, rule.selector)) {
-              if (rule.useElementHandler) elementHandler(rule, node, actions())
-              if (rule.useTextHandler) activeTextRules += ri
-            }
+        }
+        // data injection registered last (data_content_handler appended
+        // after all user rules — shadow_api.rs:153-161,690-712)
+        if (!config.asJson && a.hasEndTag(node) && a.name(node) == "body") {
+          val bodyNode = node
+          actions() += { () =>
+            dataInjection(bodyNode) = config.dataFormatter(DNode.toJson(cursor.root, config.strictJsonEscape))
           }
-          // data injection registered last (data_content_handler appended
-          // after all user rules — shadow_api.rs:153-161,690-712)
-          if (!config.asJson && a.hasEndTag(node) && a.name(node) == "body") {
-            val bodyNode = node
-            actions() += { () =>
-              dataInjection(bodyNode) = config.dataFormatter(DNode.toJson(cursor.root, config.strictJsonEscape))
-            }
-          }
-          var c = a.firstChild(node)
-          while (c != -1) { walk(c); c = a.nextSibling(c) }
-          activeTextRules.dropRightInPlace(activeTextRules.length - textMark)
-          if (endActions != null && a.hasEndTag(node)) endActions.foreach(_.apply())
-        case a.nText =>
-          val len = activeTextRules.length
-          if (len == 1) textHandler(activeTextRules(0), node)
-          else if (len > 1) {
-            // fire in ech order, once per rule (buffers are per-rule);
-            // allocation-free dedup+sort into a reused scratch buffer
-            scratchRules.clear()
-            var i = 0
-            while (i < len) {
-              val r = activeTextRules(i)
-              var dup = false
-              var d = 0
-              while (d < scratchRules.length && !dup) { dup = scratchRules(d) == r; d += 1 }
-              if (!dup) {
-                // insertion keeping ascending order
-                var k = scratchRules.length
-                scratchRules += r
-                while (k > 0 && scratchRules(k - 1) > r) {
-                  scratchRules(k) = scratchRules(k - 1); k -= 1
-                }
-                scratchRules(k) = r
+        }
+        elemActs += endActions
+      case a.nText =>
+        val len = activeTextRules.length
+        if (len == 1) textHandler(activeTextRules(0), node)
+        else if (len > 1) {
+          // fire in ech order, once per rule (buffers are per-rule);
+          // allocation-free dedup+sort into a reused scratch buffer
+          scratchRules.clear()
+          var i = 0
+          while (i < len) {
+            val r = activeTextRules(i)
+            var dup = false
+            var d = 0
+            while (d < scratchRules.length && !dup) { dup = scratchRules(d) == r; d += 1 }
+            if (!dup) {
+              // insertion keeping ascending order
+              var k = scratchRules.length
+              scratchRules += r
+              while (k > 0 && scratchRules(k - 1) > r) {
+                scratchRules(k) = scratchRules(k - 1); k -= 1
               }
-              i += 1
+              scratchRules(k) = r
             }
-            i = 0
-            while (i < scratchRules.length) { textHandler(scratchRules(i), node); i += 1 }
+            i += 1
           }
-        case _ => // raw/media/root: nothing to do
-          var c = a.firstChild(node)
-          while (c != -1) { walk(c); c = a.nextSibling(c) }
+          i = 0
+          while (i < scratchRules.length) { textHandler(scratchRules(i), node); i += 1 }
+        }
+      case _ => // raw/media/root: nothing on enter
+    }
+
+    def exitWalk(node: Int): Unit =
+      if (a.kind(node) == a.nElem) {
+        val textMark = elemMarks.remove(elemMarks.length - 1)
+        val endActions = elemActs.remove(elemActs.length - 1)
+        activeTextRules.dropRightInPlace(activeTextRules.length - textMark)
+        if (endActions != null && a.hasEndTag(node)) endActions.foreach(_.apply())
+      }
+
+    {
+      var node = 0
+      enterWalk(node)
+      var done = false
+      while (!done) {
+        val c = a.firstChild(node)
+        if (c != -1) { node = c; enterWalk(node) }
+        else {
+          exitWalk(node)
+          var climbing = true
+          while (climbing) {
+            if (node == 0) { climbing = false; done = true }
+            else {
+              val s = a.nextSibling(node)
+              if (s != -1) { node = s; enterWalk(node); climbing = false }
+              else { node = a.parent(node); exitWalk(node) }
+            }
+          }
+        }
       }
     }
-    walk(0)
 
     val dataJson = DNode.toJson(cursor.root, config.strictJsonEscape)
 
@@ -458,55 +494,95 @@ final class ShadowEngine(program: RuleProgram) extends Serializable {
     def flushHtml(): Unit =
       if (hb.length > 0) { outSpans += Span(SpanKinds.Html, hb.toString, "", outSpans.length); hb.setLength(0) }
 
-    def emitMediaOnly(node: Int): Unit = {
-      if (a.kind(node) == a.nMedia) {
-        flushHtml()
-        outSpans += Span(SpanKinds.Media, a.mediaText(a.rawS(node)), a.name(node), outSpans.length)
-      }
-      var c = a.firstChild(node)
-      while (c != -1) { emitMediaOnly(c); c = a.nextSibling(c) }
-    }
-
     def emitList(l: ArrayBuffer[String]): Unit = if (l != null) l.foreach(hb.append)
 
-    def emit(node: Int): Unit = a.kind(node) match {
-      case a.nRoot =>
-        var c = a.firstChild(node)
-        while (c != -1) { emit(c); c = a.nextSibling(c) }
-      case a.nElem =>
-        emitList(beforeL(node))
-        if (removed(node)) {
-          // element + content removed; before/after content survives,
-          // media spans inside still pass through (north-rule contract)
-          emitMediaOnly(node)
-        } else {
-          emitStartTag(node)
-          if (a.canHaveContent(node)) emitList(prependL(node))
-          if (contentOverride(node) != null) {
-            hb.append(contentOverride(node))
-            emitMediaOnly(node) // media inside replaced subtree still emitted
+    def emitMediaSpan(node: Int): Unit = {
+      flushHtml()
+      outSpans += Span(SpanKinds.Media, a.mediaText(a.rawS(node)), a.name(node), outSpans.length)
+    }
+
+    def emitEndOf(node: Int): Unit = {
+      emitList(appendL(node))
+      if (dataInjection(node) != null && dataInjection(node).nonEmpty) {
+        flushHtml()
+        outSpans += Span(SpanKinds.Data, dataInjection(node), "", outSpans.length)
+      }
+      hb.append(a.src, a.rawEndS(node), a.rawEndE(node))
+    }
+
+    // ---- serialization walk, ITERATIVE like the rule walk (same deep-doc
+    // rationale). `mediaRoot != -1` marks a removed / content-overridden
+    // subtree: inside it only media spans pass through (north-rule
+    // contract) — no overlays, no tags.
+    var mediaRoot = -1
+
+    def enterEmit(node: Int): Boolean = { // returns: descend into children?
+      if (mediaRoot != -1) {
+        if (a.kind(node) == a.nMedia) emitMediaSpan(node)
+        true
+      } else a.kind(node) match {
+        case a.nRoot => true
+        case a.nElem =>
+          emitList(beforeL(node))
+          if (removed(node)) {
+            // element + content removed; before/after content survives,
+            // media spans inside still pass through
+            mediaRoot = node
           } else {
-            var c = a.firstChild(node)
-            while (c != -1) { emit(c); c = a.nextSibling(c) }
-          }
-          if (a.hasEndTag(node)) {
-            emitList(appendL(node))
-            if (dataInjection(node) != null && dataInjection(node).nonEmpty) {
-              flushHtml()
-              outSpans += Span(SpanKinds.Data, dataInjection(node), "", outSpans.length)
+            emitStartTag(node)
+            if (a.canHaveContent(node)) emitList(prependL(node))
+            if (contentOverride(node) != null) {
+              hb.append(contentOverride(node))
+              mediaRoot = node // media inside replaced subtree still emitted
             }
-            hb.append(a.src, a.rawEndS(node), a.rawEndE(node))
+          }
+          true
+        case a.nText =>
+          if (chunkReplacement(node) != null) hb.append(chunkReplacement(node))
+          else if (!chunkRemoved(node)) hb.append(a.src, a.rawS(node), a.rawE(node))
+          false
+        case a.nRaw =>
+          hb.append(a.src, a.rawS(node), a.rawE(node))
+          false
+        case _ => // nMedia
+          emitMediaSpan(node)
+          false
+      }
+    }
+
+    def exitEmit(node: Int): Unit = {
+      if (mediaRoot == node) {
+        mediaRoot = -1
+        // removed elements drop their end tag + appends; an overridden
+        // element still closes normally
+        if (!removed(node) && a.hasEndTag(node)) emitEndOf(node)
+        emitList(afterL(node))
+      } else if (mediaRoot == -1 && a.kind(node) == a.nElem) {
+        if (a.hasEndTag(node)) emitEndOf(node)
+        emitList(afterL(node))
+      }
+    }
+
+    def emit(start: Int): Unit = {
+      var node = start
+      var desc = enterEmit(node)
+      var done = false
+      while (!done) {
+        val c = if (desc) a.firstChild(node) else -1
+        if (c != -1) { node = c; desc = enterEmit(node) }
+        else {
+          exitEmit(node)
+          var climbing = true
+          while (climbing) {
+            if (node == start) { climbing = false; done = true }
+            else {
+              val s = a.nextSibling(node)
+              if (s != -1) { node = s; desc = enterEmit(node); climbing = false }
+              else { node = a.parent(node); exitEmit(node) }
+            }
           }
         }
-        emitList(afterL(node))
-      case a.nText =>
-        if (chunkReplacement(node) != null) hb.append(chunkReplacement(node))
-        else if (!chunkRemoved(node)) hb.append(a.src, a.rawS(node), a.rawE(node))
-      case a.nRaw =>
-        hb.append(a.src, a.rawS(node), a.rawE(node))
-      case a.nMedia =>
-        flushHtml()
-        outSpans += Span(SpanKinds.Media, a.mediaText(a.rawS(node)), a.name(node), outSpans.length)
+      }
     }
 
     def emitStartTag(node: Int): Unit = {

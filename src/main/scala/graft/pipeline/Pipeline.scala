@@ -28,6 +28,19 @@ object Dedup {
   def exactKeepIds(docs: DataFrame): DataFrame =
     exact(docs).select(col("keep_id").as("doc_id"), col("n_copies"))
 
+  /** Exact-dedup survivor ROWS (lowest doc_id per identical text), as a
+    * pre-pass for the sketch dedups: real crawl corpora contain clusters of
+    * MILLIONS of byte-identical docs, and any bucketing sketch would put
+    * the whole cluster in one bucket. One window-min over xxhash64(text)
+    * (single shuffle on the 8-byte hash, never on the text bytes; hash
+    * collisions are the standard 2^-64 trade-off, same as `exact`). */
+  def exactSurvivors(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy(xxhash64(col("text")))
+    docs.withColumn("__keep", min(col("doc_id")).over(w))
+      .where(col("doc_id") === col("__keep"))
+      .drop("__keep")
+  }
+
   /** MinHash + LSH near-dup candidate pairs.
     * Row-local signature (k hashes over w-token shingles) computed inside
     * the scan projection — NO shuffle; then band keys exploded (b = k/r per

@@ -211,6 +211,47 @@ class EngineEdgeSpec extends AnyFunSuite {
     assert(json == """{"d":{"a":"2"}}""")
   }
 
+  test("adversarially deep doc (200k levels): iterative walks, no StackOverflow") {
+    val depth = 200000
+    val sb = new java.lang.StringBuilder(depth * 18 + 64)
+    var i = 0
+    while (i < depth) { sb.append("<section>"); i += 1 }
+    sb.append("<p id=\"deep\">bottom</p>")
+    i = 0
+    while (i < depth) { sb.append("</section>"); i += 1 }
+    val html = sb.toString
+    val (outHtml, json, errs) = run(html,
+      """{ "s": "#deep", "data": { "path": "d", "values": { "v": {"source": "Contents"} } },
+          "edit": { "attrs": { "k": { "op": "upsert", "val": "1" } } } }""")
+    assert(errs.isEmpty)
+    assert(json == """{"d":{"v":"bottom"}}""")
+    assert(outHtml == html.replace("<p id=\"deep\">", "<p id=\"deep\" k=\"1\">"))
+    // boilerplate block walk over the same doc: iterative too
+    val blocks = graft.engine.Boilerplate.mainContentSpans(html)
+    assert(blocks.forall(_.kind == SpanKinds.Text))
+  }
+
+  test("deep per-level data-tree: returns a row (ok or error), never crashes the task") {
+    // a rule with a trailing-dot path matching EVERY level builds a data
+    // tree as deep as the DOM; the serializer may hit its depth limit, in
+    // which case the row guard must return an error row (not kill the task)
+    val depth = 300000
+    val sb = new java.lang.StringBuilder(depth * 10 + 16)
+    var i = 0
+    while (i < depth) { sb.append("<div>"); i += 1 }
+    i = 0
+    while (i < depth) { sb.append("</div>"); i += 1 }
+    val errs = new ArrayBuffer[String]
+    val program = RuleCompiler.compile(
+      Seq(RuleParser.parseStr("""{ "s": "div", "data": { "path": "d." } }""", errs)),
+      EngineConfig(dataFormatter = _ => ""))
+    val out = new ShadowEngine(program).process(
+      Doc("deep", Seq(Span(SpanKinds.Html, sb.toString, "", 0))))
+    assert(out.doc_id == "deep") // reached: the guard converted any Error into a row
+    if (out.errors.nonEmpty)
+      assert(out.errors.exists(_.contains("internal error")))
+  }
+
   test("E9: post-hoc transform over collected data values (shadow_data.rs:251-269)") {
     val r = DNode.newObject(0, null)
     r.set("a", DNode.newString(1, r, "xAy"))
