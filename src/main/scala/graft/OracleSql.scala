@@ -57,14 +57,25 @@ object OracleSql {
     z ^ (z >>> 31)
   }
 
-  /** dd3_simhash: per-token FNV -> splitmix64 -> 64 bit-majority counters ->
-    * 16-bit chunk blocking -> distinct candidate pairs with hamming. */
+  /** Exact-dedup survivor prefilter (Dedup.exactSurvivors): lowest doc_id
+    * per identical text. The Spark side windows over xxhash64(text); the
+    * replay partitions by the text itself — identical modulo 2^-64 hash
+    * collisions (the same trade-off dd1 makes). */
+  private val survCte: String =
+    "surv AS (SELECT doc_id, text FROM (SELECT doc_id, text, " +
+      "MIN(doc_id) OVER (PARTITION BY text) AS __m FROM documents) WHERE doc_id = __m)"
+
+  /** dd3_simhash: exact-dedup survivors -> per-token FNV -> splitmix64 ->
+    * 64 bit-majority counters -> 16-bit chunk blocking -> ANCHOR pairs
+    * (min doc_id per bucket vs each member, hamming to the anchor) —
+    * replaying Dedup.simhashCandidateAnchors(Dedup.exactSurvivors(...)). */
   def dd3Simhash: String = {
     val cnts = (0 until 64).map(b =>
       s"SUM(CASE WHEN (${u("z")} >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS c$b").mkString(", ")
     val shsum = (0 until 64).map(b =>
       s"CASE WHEN c$b > 0 THEN ${hu(1L << b)} ELSE CAST(0 AS HUGEINT) END").mkString(" + ")
-    s"""WITH toks AS (SELECT doc_id, unnest(list_filter(string_split(text,' '), t -> t <> '')) AS t FROM documents),
+    s"""WITH $survCte,
+toks AS (SELECT doc_id, unnest(list_filter(string_split(text,' '), t -> t <> '')) AS t FROM surv),
 f AS (SELECT doc_id, ${fnv("t")} AS z FROM toks),
 s0 AS (SELECT doc_id, ${smStages(0)("z")} AS z FROM f),
 s1 AS (SELECT doc_id, ${smStages(1)("z")} AS z FROM s0),
@@ -74,10 +85,11 @@ cnt AS (SELECT doc_id, $cnts FROM s3 GROUP BY doc_id),
 sh AS (SELECT doc_id, ($shsum) AS shu FROM cnt),
 chunks AS (SELECT doc_id, shu, ci, CAST((${u("shu")} >> (16*ci)) & 65535 AS BIGINT) AS ck
            FROM sh CROSS JOIN (SELECT unnest([0,1,2,3]) AS ci)),
-pairs AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
-   CAST(bit_count(xor(${u("a.shu")}, ${u("b.shu")})) AS INT) AS hamming
-   FROM chunks a JOIN chunks b ON a.ci = b.ci AND a.ck = b.ck AND a.doc_id < b.doc_id)
-SELECT id1, id2, hamming FROM pairs ORDER BY id1, id2"""
+anch AS (SELECT doc_id, shu, MIN(doc_id) OVER (PARTITION BY ci, ck) AS id1,
+                arg_min(shu, doc_id) OVER (PARTITION BY ci, ck) AS sh1 FROM chunks)
+SELECT DISTINCT id1, doc_id AS id2,
+  CAST(bit_count(xor(${u("sh1")}, ${u("shu")})) AS INT) AS hamming
+FROM anch WHERE doc_id > id1 ORDER BY id1, id2"""
   }
 
   /** ann3_lsh_topk: sign-LSH bucket replay. The hyperplane components
@@ -87,16 +99,26 @@ SELECT id1, id2, hamming FROM pairs ORDER BY id1, id2"""
     * so the sign — and therefore the bucket — is bit-identical. Probes =
     * query bucket + all 1-bit flips (Ann.lshTopK defaults planes=8,
     * probeBits=1, seed=42, query = vec_id 0, k=10). */
-  def ann3LshTopK: String = {
-    val planes = 8; val dim = 64; val seed = 42L
+  /** Sign-LSH bucket as a SQL sum over `vd` (a DOUBLE-cast embedding list):
+    * the hyperplane components (r >> 11) / 2^52 with
+    * r = splitmix64(seed ^ p<<32 ^ i) are inlined as exact Double literals
+    * (Double.toString round-trips), and each plane's dot folds left over
+    * doubles in both engines, so the sign — and the bucket — is
+    * bit-identical to graft.functions.Hashing.cosLshBucket. */
+  private def bucketSumSql(planes: Int, dim: Int, seed: Long): String = {
     def compList(p: Int): String =
       (0 until dim).map { i =>
         val r = sm64Scala(seed ^ (p.toLong << 32) ^ i.toLong)
         java.lang.Double.toString((r >> 11).toDouble / (1L << 52).toDouble)
       }.mkString("[", ", ", "]")
-    val bucketSum = (0 until planes).map(p =>
+    (0 until planes).map(p =>
       s"CASE WHEN list_dot_product(vd, ${compList(p)}) >= 0 THEN ${1L << p} ELSE 0 END")
       .mkString(" + ")
+  }
+
+  def ann3LshTopK: String = {
+    val planes = 8
+    val bucketSum = bucketSumSql(planes, dim = 64, seed = 42L)
     val masks = (0 +: (0 until planes).map(1 << _)).mkString("[", ", ", "]")
     s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd FROM embeddings),
 bkt AS (SELECT vec_id, vd, ($bucketSum) AS bucket FROM e),
@@ -109,10 +131,30 @@ SELECT vec_id FROM (
 ORDER BY score DESC, vec_id LIMIT 10"""
   }
 
-  /** dd2_minhash_lsh: w=3 token shingles (short docs: whole text) -> FNV ->
-    * 64 permutations via xor with precomputed splitmix64(j*K) -> signed MIN
-    * per (doc, j) -> 16 bands of 4 folded with splitmix64 -> band-bucket
-    * join -> distinct candidate pairs. */
+  /** dd5_embedding_neardup: sign-LSH bucket join (same bucket replay as
+    * ann3) + the integer-quantized cosine threshold
+    * `cos >= sqrt(num/den)  <=>  qdot >= 0 AND den*qdot^2 >= num*|a|^2*|b|^2`
+    * evaluated in HUGEINT (the Spark side uses DECIMAL) — replaying
+    * Dedup.embeddingNearDupLshQ(planes=8, seed=42). */
+  def dd5EmbeddingNearDupLsh(num: Long, den: Long): String = {
+    val bucketSum = bucketSumSql(planes = 8, dim = 64, seed = 42L)
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd,
+  list_transform(embedding, x -> CAST(round(x*1000) AS BIGINT)) AS qv FROM embeddings),
+b AS (SELECT vec_id, qv, CAST(list_dot_product(qv, qv) AS BIGINT) AS qn2, ($bucketSum) AS bucket FROM e),
+p AS (SELECT x.vec_id AS id1, y.vec_id AS id2, CAST(list_dot_product(x.qv, y.qv) AS BIGINT) AS qdot,
+             x.qn2 AS qn2a, y.qn2 AS qn2b
+      FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
+SELECT id1, id2, qdot FROM p
+WHERE qdot >= 0 AND $den*CAST(qdot AS HUGEINT)*CAST(qdot AS HUGEINT) >= $num*CAST(qn2a AS HUGEINT)*CAST(qn2b AS HUGEINT)
+ORDER BY id1, id2"""
+  }
+
+  /** dd2_minhash_lsh: exact-dedup survivors -> w=3 token shingles (short
+    * docs: whole text) -> FNV -> 64 permutations via xor with precomputed
+    * splitmix64(j*K) -> signed MIN per (doc, j) -> 16 bands of 4 folded
+    * with splitmix64 -> ANCHOR pairs per band bucket (min doc_id vs each
+    * member) — replaying
+    * Dedup.minhashCandidateAnchors(Dedup.exactSurvivors(...)). */
   def dd2MinhashLsh: String = {
     val smj = (0 until 64)
       .map(j => sm64Scala(j.toLong * java.lang.Long.parseUnsignedLong("2545F4914F6CDD1D", 16)))
@@ -132,7 +174,8 @@ ORDER BY score DESC, vec_id LIMIT 10"""
       prev = cur
     }
     val bands = bandCtes.toString.stripSuffix(",\n")
-    s"""WITH base AS (SELECT doc_id, text, list_filter(string_split(text,' '), t -> t <> '') AS toks FROM documents),
+    s"""WITH $survCte,
+base AS (SELECT doc_id, text, list_filter(string_split(text,' '), t -> t <> '') AS toks FROM surv),
 shing AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 3
     THEN list_transform(range(1, len(toks)-1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ')
     ELSE [text] END) AS s FROM base),
@@ -147,8 +190,8 @@ sig AS (SELECT doc_id, j, MIN(CAST(CASE WHEN z >= CAST('9223372036854775808' AS 
 b0 AS (SELECT doc_id, i, ${xoru(hu(FnvH0), "i")} AS z
        FROM (SELECT DISTINCT doc_id FROM sig) CROSS JOIN (SELECT unnest(range(16)) AS i)),
 $bands
-SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-FROM $prev a JOIN $prev b ON a.i = b.i AND a.z = b.z AND a.doc_id < b.doc_id
-ORDER BY id1, id2"""
+SELECT DISTINCT id1, id2 FROM (
+  SELECT MIN(doc_id) OVER (PARTITION BY i, z) AS id1, doc_id AS id2 FROM $prev)
+WHERE id2 > id1 ORDER BY id1, id2"""
   }
 }

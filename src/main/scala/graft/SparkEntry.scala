@@ -372,17 +372,25 @@ object SparkEntry {
       Dedup.exact(documents(s, dir))
         .agg(count(lit(1)).as("n_unique"), sum(col("n_copies")).as("n_docs"),
           min(col("keep_id")).as("min_keep"), max(col("keep_id")).as("max_keep"))),
+    // dd2/dd3 run the 100 TB shape end-to-end: exact-dedup survivors first
+    // (identical-doc clusters collapse before sketching), then anchor-pair
+    // emission per bucket (O(k) rows per hot bucket, not O(k^2)); the
+    // all-pairs variants remain spec-tested small-scale verification paths
     "dd2_minhash_lsh" -> ((s, dir) =>
-      Dedup.minhashCandidates(documents(s, dir)).orderBy("id1", "id2")),
+      Dedup.minhashCandidateAnchors(Dedup.exactSurvivors(documents(s, dir)))
+        .orderBy("id1", "id2")),
     "dd3_simhash" -> ((s, dir) =>
-      Dedup.simhashCandidates(documents(s, dir)).orderBy("id1", "id2")),
+      Dedup.simhashCandidateAnchors(Dedup.exactSurvivors(documents(s, dir)))
+        .orderBy("id1", "id2")),
     "dd4_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardConsecutive(documents(s, dir)).orderBy("doc_id")),
     "dd5_embedding_neardup" -> ((s, dir) =>
-      // integer-exact cosine threshold sqrt(4/25) = 0.4 (the corpus plants
-      // no >=0.9 near-dups; 0.4 yields real pairs). LSH scale path:
-      // Dedup.embeddingNearDup, recall-tested in SparkSpec.
-      Dedup.embeddingNearDupExact(embeddings(s, dir), num = 4L, den = 25L)
+      // sign-LSH bucket join + integer-exact cosine threshold
+      // sqrt(4/25) = 0.4 (the corpus plants no >=0.9 near-dups; 0.4 yields
+      // real pairs). The O(n^2) exact join (embeddingNearDupExact) is the
+      // sampled recall baseline in SparkSpec, not a driver query.
+      Dedup.embeddingNearDupLshQ(embeddings(s, dir), planes = 8, seed = 42L,
+          num = 4L, den = 25L)
         .orderBy("id1", "id2")),
 
     // ---- similarity search ----
@@ -641,7 +649,11 @@ object SparkEntry {
     // quantized dot. All int64, so the replay is bit-exact.
     "ann4_ivf_topk" ->
       ("WITH q AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(x*1000) AS BIGINT)) AS qv FROM embeddings), " +
-        "cent AS (SELECT vec_id AS cell, qv AS cv, CAST(list_dot_product(qv, qv) AS BIGINT) AS cn2 FROM q WHERE vec_id < 8), " +
+        // ordered-limit subquery (NOT `WHERE vec_id < 8`): Ann.ivfTopK takes
+        // orderBy(vec_id).limit(cells), which differs whenever vec_ids are
+        // sparse or don't start at 0
+        "cent AS (SELECT vec_id AS cell, qv AS cv, CAST(list_dot_product(qv, qv) AS BIGINT) AS cn2 " +
+        "FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT 8)), " +
         "qq AS (SELECT qv AS qqv FROM q WHERE vec_id = 0), " +
         "assign AS (SELECT v.vec_id, v.qv, (SELECT c.cell FROM cent c " +
         "ORDER BY c.cn2 - 2*CAST(list_dot_product(v.qv, c.cv) AS BIGINT) ASC, c.cell ASC LIMIT 1) AS cell FROM q v), " +
@@ -651,15 +663,10 @@ object SparkEntry {
         "FROM assign a WHERE a.cell IN (SELECT cell FROM probes) " +
         "ORDER BY qdot DESC, a.vec_id LIMIT 10"),
 
-    // integer-quantized cosine threshold (see Dedup.embeddingNearDupExact):
-    // cos >= 0.4  <=>  qdot >= 0 AND 25*qdot^2 >= 4*|a|^2*|b|^2, all int64.
-    "dd5_embedding_neardup" ->
-      ("WITH q AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(x*1000) AS BIGINT)) AS qv FROM embeddings), " +
-        "n AS (SELECT vec_id, qv, CAST(list_dot_product(qv, qv) AS BIGINT) AS qn2 FROM q) " +
-        "SELECT id1, id2, qdot FROM (SELECT x.vec_id AS id1, y.vec_id AS id2, " +
-        "CAST(list_dot_product(x.qv, y.qv) AS BIGINT) AS qdot, x.qn2 AS qn2a, y.qn2 AS qn2b " +
-        "FROM n x JOIN n y ON x.vec_id < y.vec_id) " +
-        "WHERE qdot >= 0 AND 25*qdot*qdot >= 4*qn2a*qn2b ORDER BY id1, id2"),
+    // sign-LSH bucket join + integer-quantized cosine threshold
+    // cos >= 0.4  <=>  qdot >= 0 AND 25*qdot^2 >= 4*|a|^2*|b|^2 (HUGEINT;
+    // see Dedup.embeddingNearDupLshQ / graft.OracleSql)
+    "dd5_embedding_neardup" -> OracleSql.dd5EmbeddingNearDupLsh(num = 4L, den = 25L),
 
     // stopword-profile language ID (graft.functions.Hashing.langId): per-
     // language token hits (zh: +2 per profile char present as a substring),

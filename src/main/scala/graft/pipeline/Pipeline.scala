@@ -4,6 +4,7 @@ import graft.functions.TextFunctions._
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Training-data pipeline operators over the `documents` /`embeddings`
   * tables. Everything is expressed as DataFrame transformations so Catalyst
@@ -67,6 +68,28 @@ object Dedup {
       .distinct()
   }
 
+  /** MinHash+LSH candidates, ANCHOR-PAIR emission (the 100 TB shape):
+    * instead of all `k^2·b/2` pairs of a hot bucket, each (band, key)
+    * bucket emits `(min_doc_id, doc_id)` — O(k) rows per bucket, and the
+    * pairs still connect every bucket member into one component for the
+    * downstream union-find/verify step. One window-min per bucket (shuffle
+    * on the band key, O(k log k) sort, spillable) replaces the self-join.
+    * Compose with `exactSurvivors` so byte-identical clusters collapse
+    * BEFORE sketching (a cluster of a million identical docs shares all b
+    * band keys; no bucketing scheme survives that without the pre-pass). */
+  def minhashCandidateAnchors(docs: DataFrame, k: Int = 64, w: Int = 3, r: Int = 4): DataFrame = {
+    val sigs = docs.select(col("doc_id"),
+      lsh_bands(minhash_sig(col("text"), k, w), r).as("bands"))
+    val exploded = sigs.select(col("doc_id"),
+      posexplode_outer(col("bands")).as(Seq("band_idx", "band_key")))
+      .where(col("band_key").isNotNull)
+    val wMin = Window.partitionBy(col("band_idx"), col("band_key"))
+    exploded.withColumn("id1", min(col("doc_id")).over(wMin))
+      .where(col("doc_id") > col("id1"))
+      .select(col("id1"), col("doc_id").as("id2"))
+      .distinct()
+  }
+
   /** SimHash near-dup candidates: 64-bit row-local sketch; candidates share
     * one of four 16-bit chunks (tolerates hamming distance < 4 spread).
     * Same shuffle shape as minhash, 4 keys per doc. */
@@ -81,6 +104,28 @@ object Dedup {
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
         expr("bit_count(a.sh ^ b.sh)").as("hamming"))
+      .distinct()
+  }
+
+  /** SimHash candidates, ANCHOR-PAIR emission (same rationale as
+    * `minhashCandidateAnchors`): each (chunk_idx, chunk_key) bucket emits
+    * `(min_doc_id, doc_id, hamming_to_anchor)` via one window-min — O(k)
+    * rows per bucket even when the 4x65,536-key space saturates at corpus
+    * scale (10^9+ docs put ~15k docs in every bucket; the old self-join
+    * produced ~10^8 rows per bucket there). The anchor's sketch rides in a
+    * struct-min so hamming needs no join-back. */
+  def simhashCandidateAnchors(docs: DataFrame): DataFrame = {
+    val sh = docs.select(col("doc_id"), simhash64(col("text")).as("sh"))
+    val chunks = sh.select(col("doc_id"), col("sh"),
+      explode(array((0 until 4).map(i =>
+        struct(lit(i).as("ci"), shiftright(col("sh"), i * 16).bitwiseAND(lit(0xffffL)).as("ck"))): _*)).as("c"))
+      .select(col("doc_id"), col("sh"), col("c.ci"), col("c.ck"))
+    val wMin = Window.partitionBy(col("ci"), col("ck"))
+    chunks
+      .withColumn("mn", min(struct(col("doc_id"), col("sh"))).over(wMin))
+      .where(col("doc_id") > col("mn.doc_id"))
+      .select(col("mn.doc_id").as("id1"), col("doc_id").as("id2"),
+        expr("bit_count(mn.sh ^ sh)").as("hamming"))
       .distinct()
   }
 
@@ -124,6 +169,33 @@ object Dedup {
       .where(col("cos") >= minCos)
   }
 
+  /** Near-dup pairs at scale with an INTEGER-EXACT cosine threshold:
+    * sign-LSH bucket join (row-local bucket id in the scan projection; the
+    * self-join only meets vectors in the same bucket, ~1/2^planes of the
+    * all-pairs volume) + the quantized threshold of
+    * `embeddingNearDupExact` on the candidates. The comparison runs in
+    * DECIMAL so large-norm vectors cannot silently wrap Long. Everything —
+    * bucket bits, quantization, threshold — is deterministic arithmetic,
+    * so an external engine reproduces it bit-for-bit (this is the oracled
+    * dd5 path; the O(n^2) exact join is the sampled recall baseline). */
+  def embeddingNearDupLshQ(emb: DataFrame, planes: Int = 8, seed: Long = 42L,
+                           num: Long = 4L, den: Long = 25L): DataFrame = {
+    val b = emb.select(col("vec_id"),
+      expr("transform(embedding, x -> cast(round(x*1000) as bigint))").as("qv"),
+      cos_lsh_bucket(col("embedding"), planes, seed).as("bucket"))
+      .withColumn("qn2", expr("aggregate(qv, 0L, (a,v) -> a + v*v)"))
+    val x = b.as("x"); val y = b.as("y")
+    val qdot = expr("aggregate(zip_with(x.qv, y.qv, (p,q) -> p*q), 0L, (a,v) -> a+v)")
+    val dec = DecimalType(20, 0)
+    x.join(y, col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("id1"), col("y.vec_id").as("id2"),
+        qdot.as("qdot"), col("x.qn2").as("qn2a"), col("y.qn2").as("qn2b"))
+      .where(col("qdot") >= 0 &&
+        col("qdot").cast(dec) * col("qdot").cast(dec) * lit(den).cast(dec) >=
+          lit(num).cast(dec) * col("qn2a").cast(dec) * col("qn2b").cast(dec))
+      .select(col("id1"), col("id2"), col("qdot"))
+  }
+
   /** Exact near-dup pairs with an INTEGER cosine threshold: vectors are
     * quantized to round(x*1000) bigints, and `cos >= sqrt(num/den)` is
     * rewritten as `qdot >= 0 && den*qdot^2 >= num*|a|^2*|b|^2` — pure
@@ -138,11 +210,15 @@ object Dedup {
       .withColumn("qn2", expr("aggregate(qv, 0L, (a,v) -> a + v*v)"))
     val x = q.as("x"); val y = q.as("y")
     val qdot = expr("aggregate(zip_with(x.qv, y.qv, (p,q) -> p*q), 0L, (a,v) -> a+v)")
+    // DECIMAL comparison: num*qn2a*qn2b can exceed Long for non-unit-norm
+    // vectors (Spark would wrap silently in non-ANSI mode)
+    val dec = DecimalType(20, 0)
     x.join(y, col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("id1"), col("y.vec_id").as("id2"),
         qdot.as("qdot"), col("x.qn2").as("qn2a"), col("y.qn2").as("qn2b"))
       .where(col("qdot") >= 0 &&
-        col("qdot") * col("qdot") * lit(den) >= lit(num) * col("qn2a") * col("qn2b"))
+        col("qdot").cast(dec) * col("qdot").cast(dec) * lit(den).cast(dec) >=
+          lit(num).cast(dec) * col("qn2a").cast(dec) * col("qn2b").cast(dec))
       .select(col("id1"), col("id2"), col("qdot"))
   }
 }
@@ -167,10 +243,18 @@ object Ann {
       .limit(k)
   }
 
+  /** Quantize a driver-held vector BY Spark SQL (constant-folded `round`)
+    * so literals agree bit-for-bit with scan-projected `round(x*1000)`. */
+  private def quantizeViaSql(emb: DataFrame, v: Array[Float]): Array[Long] =
+    emb.sparkSession.range(1)
+      .withColumn("qv0", typedLit(v))
+      .select(expr("transform(qv0, x -> cast(round(x*1000) as bigint))").as("q"))
+      .collect().head.getSeq[Long](0).toArray
+
   /** Integer-quantized dot-product top-k (deterministic across engines:
     * values are exact integers, so DuckDB can oracle it). */
   def quantizedTopK(emb: DataFrame, queryVec: Array[Float], k: Int): DataFrame = {
-    val q = typedLit(queryVec.map(x => math.round(x * 1000).toLong))
+    val q = typedLit(quantizeViaSql(emb, queryVec))
     val dot = expr("aggregate(zip_with(embedding, qv, (p,q) -> cast(round(p*1000) as bigint)*q), 0L, (acc,v) -> acc+v)")
     emb.withColumn("qv", q)
       .select(col("vec_id"), dot.as("qdot"))
@@ -178,12 +262,17 @@ object Ann {
       .limit(k)
   }
 
-  /** Spark SQL round() semantics (BigDecimal HALF_UP — away from zero on
-    * exact halves) for driver-side quantization, so driver-quantized
-    * literals agree bit-for-bit with scan-projected `round(x*1000)`. */
-  private def qround1000(x: Float): Long =
-    new java.math.BigDecimal(x.toDouble * 1000)
-      .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+  /** Driver-side centroid quantization done BY Spark SQL itself (one tiny
+    * collect): running `round(x*1000)` through the same engine guarantees
+    * the inlined centroid literals agree bit-for-bit with the per-row scan
+    * projection — re-implementing the rounding on the driver can diverge
+    * near k+0.5 boundaries because the SQL expression multiplies in FLOAT
+    * before rounding. */
+  private def quantizedCentroids(emb: DataFrame, cells: Int): Array[Array[Long]] =
+    emb.orderBy("vec_id").limit(cells)
+      .select(expr("transform(embedding, x -> cast(round(x*1000) as bigint))").as("qv"))
+      .collect()
+      .map(_.getSeq[Long](0).toArray)
 
   /** IVF-style ANN (second scale path besides sign-LSH): a coarse codebook
     * of `cells` centroids — here the quantized vectors of the `cells`
@@ -198,11 +287,9 @@ object Ann {
     * Integer-exact end to end, so an external engine reproduces it. */
   def ivfTopK(emb: DataFrame, queryVec: Array[Float], k: Int,
               cells: Int = 8, nprobe: Int = 2): DataFrame = {
-    val cents: Array[Array[Long]] = emb.orderBy("vec_id").limit(cells)
-      .select("embedding").collect()
-      .map(_.getSeq[Float](0).toArray.map(qround1000))
+    val cents: Array[Array[Long]] = quantizedCentroids(emb, cells)
     val cn2: Array[Long] = cents.map(c => c.map(v => v * v).sum)
-    val qv: Array[Long] = queryVec.map(qround1000)
+    val qv: Array[Long] = quantizeViaSql(emb, queryVec)
     def qdotWith(c: Array[Long]): Long =
       qv.zip(c).map { case (a, b) => a * b }.sum
     val probes: Seq[Int] = cents.indices

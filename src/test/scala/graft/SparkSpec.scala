@@ -201,6 +201,61 @@ class SparkSpec extends AnyFunSuite {
     assert(ex.contains((0L, 100L)))
   }
 
+  test("hot-bucket hardening: planted 10k-identical cluster yields O(k) candidates") {
+    // a crawl-realistic poison pill: 10,000 byte-identical docs (all-pairs
+    // emission would produce ~10^8 band-join rows from them alone), plus
+    // 500 near-identical docs and 60 distinct docs
+    def baseText(seed: Int): IndexedSeq[String] =
+      (0 until 30).map(k => s"w${Corpus.splitmix64(seed * 31 + k) % 50}")
+    val rows =
+      (0 until 10000).map(i => (i.toLong, baseText(7).mkString(" "))) ++
+      (0 until 500).map(i => (20000L + i,
+        baseText(7).updated(i % 30, s"MUT$i").mkString(" "))) ++
+      (0 until 60).map(i => (40000L + i, baseText(100 + i).mkString(" ")))
+    val docs = rows.toDF("doc_id", "text")
+
+    val surv = Dedup.exactSurvivors(docs)
+    val nSurv = surv.count()
+    assert(nSurv == 1 + 500 + 60) // the 10k cluster collapses to doc 0
+
+    // anchor emission: per (band/chunk, key) bucket of size k the output is
+    // k-1 rows, so candidates are bounded by keys-per-doc * survivors
+    val mh = Dedup.minhashCandidateAnchors(surv).count()
+    assert(mh <= 16L * nSurv, s"minhash candidates not O(k): $mh")
+    val sh = Dedup.simhashCandidateAnchors(surv).count()
+    assert(sh <= 4L * nSurv, s"simhash candidates not O(k): $sh")
+    assert(mh > 0 && sh > 0) // the near-dups are still found
+    // and the near-dup family is connected to its anchor: doc 0 (the
+    // survivor of the identical cluster) anchors pairs to the mutants
+    val mhPairs = Dedup.minhashCandidateAnchors(surv)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mhPairs.exists { case (a, b) => a == 0L && b >= 20000L && b < 30000L })
+  }
+
+  test("dd5: LSH-bucketed near-dup finds planted pair; exact path is the recall baseline") {
+    val base = (0 until 30).map { i =>
+      val v = (0 until 16).map(k =>
+        (Corpus.splitmix64(i * 7 + k).toDouble / Long.MaxValue).toFloat).toArray
+      (i.toLong, v)
+    }
+    val near = (100L, base(0)._2.clone())
+    near._2(3) = near._2(3) + 0.001f
+    val emb = (base :+ near).toDF("vec_id", "embedding")
+    // num=9801/den=10000 (cos>=0.99): the DECIMAL comparison must not wrap
+    // (9801 * |a|^2 * |b|^2 exceeds Long for these non-unit vectors)
+    val exact = Dedup.embeddingNearDupExact(emb, num = 9801L, den = 10000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.embeddingNearDupLshQ(emb, planes = 4, seed = 42L,
+        num = 9801L, den = 10000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.contains((0L, 100L)))
+    assert(lsh.contains((0L, 100L)))
+    // LSH candidates are a subset of the exact pairs (same threshold),
+    // and recall on this sample is total
+    assert(lsh.subsetOf(exact))
+    assert(lsh == exact, s"recall loss on planted sample: ${exact -- lsh}")
+  }
+
   test("tx1: language-ID heuristic on real-language samples") {
     import graft.functions.Hashing
     assert(Hashing.langId("the cat sat on the mat and it was happy") == "en")
