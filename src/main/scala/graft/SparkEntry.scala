@@ -412,9 +412,30 @@ object SparkEntry {
     }),
 
     // ---- text analysis ----
+    // tx1: the testdata's `text` is English-ish for every lang label (real
+    // raw-text discrimination is asserted in SparkSpec), so the oracled
+    // query synthesizes genuinely per-language text from (lang, doc_id) —
+    // 20 language-profile stopwords rotated by doc_id plus 10 neutral
+    // fillers — and the engine's classifier must recover the label: the
+    // oracle replays scoring + first-max tie-break over the same string,
+    // so a non-discriminating classifier would hash-mismatch.
     "tx1_lang_id" -> ((s, dir) => {
-      val p = TextStats.langId(documents(s, dir))
-      p.groupBy(col("lang_label"), col("lang_pred")).agg(count(lit(1)).as("n"))
+      val vocabArr =
+        when(col("lang") === "en", typedLit(Tx1Vocab("en")))
+          .when(col("lang") === "de", typedLit(Tx1Vocab("de")))
+          .when(col("lang") === "fr", typedLit(Tx1Vocab("fr")))
+          .when(col("lang") === "es", typedLit(Tx1Vocab("es")))
+          .otherwise(typedLit(Tx1Vocab("zh")))
+      val ml = documents(s, dir)
+        .withColumn("vocabArr", vocabArr)
+        .select(col("lang").as("lang_label"),
+          concat_ws(" ", expr(
+            "transform(sequence(0, 29), i -> CASE WHEN i % 3 = 2 " +
+              "THEN concat('w', cast(pmod(doc_id + i, 7) as string)) " +
+              "ELSE element_at(vocabArr, cast(pmod(doc_id + i, 10) + 1 as int)) END)"))
+            .as("t"))
+      ml.select(col("lang_label"), graft.functions.TextFunctions.lang_id(col("t")).as("lang_pred"))
+        .groupBy(col("lang_label"), col("lang_pred")).agg(count(lit(1)).as("n"))
         .orderBy("lang_label", "lang_pred")
     }),
     "tx2_quality" -> ((s, dir) => TextStats.quality(documents(s, dir)).orderBy("doc_id")),
@@ -468,18 +489,61 @@ object SparkEntry {
         .orderBy("lang_pred")
     }),
 
-    "bp2_main_content_corpus" -> ((s, dir) => {
+    // bp2: 4-block page (nav / article / teaser / footer) built from the
+    // documents table so the NumWordsRules decisions — which depend on the
+    // (prev, curr, next) block features — are DuckDB-replayable per doc:
+    // the article is content iff its word count > 40 (prev is a pure-link
+    // nav), the teaser iff the article has > 4 words. Corpus-shaped docs
+    // stay covered by BoilerplateSpec.
+    "bp2_main_content_blocks" -> ((s, dir) => {
       import s.implicits._
-      Corpus.generate(s, 500, 8).mapPartitions { it =>
+      val input = documents(s, dir)
+        .select(col("doc_id"), tplCol(Seq(
+          L("<html><body><div class=\"nav\"><a href=\"/\">home</a> <a href=\"/a\">about</a> <a href=\"/b\">archive pages</a></div><p>"),
+          fText,
+          L("</p><p>"), fLang, L(" snippet about "), fSource,
+          L("</p><div class=\"footer\"><a href=\"/c\">contact us</a></div></body></html>"))).as("h"))
+        .as[(Long, String)]
+      input.mapPartitions { it =>
         val pool = new graft.html.NamePool
-        it.map { d =>
-          val html = d.spans.filter(_.kind == SpanKinds.Html).map(_.text).mkString
-          val spans = graft.engine.Boilerplate.mainContentSpans(html, pool)
-          (d.doc_id, spans.length, spans.map(_.text.length).sum)
+        it.map { case (id, h) =>
+          val spans = graft.engine.Boilerplate.mainContentSpans(h, pool)
+          (id, spans.length, spans.map(_.text.length.toLong).sum)
         }
       }.toDF("doc_id", "n_content_blocks", "content_chars").orderBy("doc_id")
     })
   )
+
+  /** tx1's per-language vocab = the public stopword profiles the classifier
+    * scores against (graft.functions.Hashing.profiles). */
+  private val Tx1Vocab: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "was", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"),
+    "fr" -> Seq("le", "la", "les", "et", "de", "un", "une", "est", "dans", "que"),
+    "es" -> Seq("el", "la", "los", "y", "de", "un", "una", "es", "en", "que"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "不", "人", "这"))
+
+  private def sqlList(ws: Seq[String]): String = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+  private def sqlIn(ws: Seq[String]): String = ws.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  /** DuckDB s_en..s_zh score columns for a text expression (replays
+    * Hashing.langId: token hits; zh additionally +2 per profile char
+    * present as a substring). */
+  private def sqlLangScores(t: String): String = {
+    val tok = (l: String) =>
+      s"len(list_filter(string_split($t,' '), x -> x IN ${sqlIn(Tx1Vocab(l))})) "
+    Seq("en", "de", "fr", "es").map(l => tok(l) + s"AS s_$l").mkString(", ") + ", " +
+      tok("zh") +
+      Tx1Vocab("zh").map(c => s"+ 2*(CASE WHEN contains($t,'$c') THEN 1 ELSE 0 END)").mkString(" ") +
+      " AS s_zh"
+  }
+
+  /** first-max in (en,de,fr,es,zh) order, as in Hashing.langId. */
+  private val sqlLangPredCase: String =
+    "CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en >= s_zh THEN 'en' " +
+      "WHEN s_de >= s_fr AND s_de >= s_es AND s_de >= s_zh THEN 'de' " +
+      "WHEN s_fr >= s_es AND s_fr >= s_zh THEN 'fr' " +
+      "WHEN s_es >= s_zh THEN 'es' ELSE 'zh' END"
 
   private def firstEmbedding(s: SparkSession, dir: String): Array[Float] =
     embeddings(s, dir).where(col("vec_id") === 0)
@@ -668,28 +732,21 @@ object SparkEntry {
     // see Dedup.embeddingNearDupLshQ / graft.OracleSql)
     "dd5_embedding_neardup" -> OracleSql.dd5EmbeddingNearDupLsh(num = 4L, den = 25L),
 
-    // stopword-profile language ID (graft.functions.Hashing.langId): per-
-    // language token hits (zh: +2 per profile char present as a substring),
-    // first-max in (en,de,fr,es,zh) order via the nested >= CASE.
-    "tx1_lang_id" ->
-      ("WITH scored AS (SELECT lang AS lang_label, " +
-        "len(list_filter(string_split(text,' '), t -> t IN ('the','and','of','to','in','is','that','it','was','for'))) AS s_en, " +
-        "len(list_filter(string_split(text,' '), t -> t IN ('der','die','das','und','ist','nicht','ein','mit','auf','zu'))) AS s_de, " +
-        "len(list_filter(string_split(text,' '), t -> t IN ('le','la','les','et','de','un','une','est','dans','que'))) AS s_fr, " +
-        "len(list_filter(string_split(text,' '), t -> t IN ('el','la','los','y','de','un','una','es','en','que'))) AS s_es, " +
-        "len(list_filter(string_split(text,' '), t -> t IN ('的','是','了','在','我','有','和','不','人','这'))) " +
-        "+ 2*(CASE WHEN contains(text,'的') THEN 1 ELSE 0 END) + 2*(CASE WHEN contains(text,'是') THEN 1 ELSE 0 END) " +
-        "+ 2*(CASE WHEN contains(text,'了') THEN 1 ELSE 0 END) + 2*(CASE WHEN contains(text,'在') THEN 1 ELSE 0 END) " +
-        "+ 2*(CASE WHEN contains(text,'我') THEN 1 ELSE 0 END) + 2*(CASE WHEN contains(text,'有') THEN 1 ELSE 0 END) " +
-        "+ 2*(CASE WHEN contains(text,'和') THEN 1 ELSE 0 END) + 2*(CASE WHEN contains(text,'不') THEN 1 ELSE 0 END) " +
-        "+ 2*(CASE WHEN contains(text,'人') THEN 1 ELSE 0 END) + 2*(CASE WHEN contains(text,'这') THEN 1 ELSE 0 END) AS s_zh " +
-        "FROM documents) " +
-        "SELECT lang_label, CASE " +
-        "WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en >= s_zh THEN 'en' " +
-        "WHEN s_de >= s_fr AND s_de >= s_es AND s_de >= s_zh THEN 'de' " +
-        "WHEN s_fr >= s_es AND s_fr >= s_zh THEN 'fr' " +
-        "WHEN s_es >= s_zh THEN 'es' ELSE 'zh' END AS lang_pred, count(*) AS n " +
-        "FROM scored GROUP BY 1, 2 ORDER BY 1, 2"),
+    // stopword-profile language ID over the synthesized per-language text
+    // (see the tx1 query comment): same (lang, doc_id)-rotated word list,
+    // then score replay + first-max tie-break.
+    "tx1_lang_id" -> {
+      val vocabCase = "CASE lang " +
+        Seq("en", "de", "fr", "es").map(l => s"WHEN '$l' THEN ${sqlList(Tx1Vocab(l))}").mkString(" ") +
+        s" ELSE ${sqlList(Tx1Vocab("zh"))} END"
+      "WITH ml AS (SELECT lang AS lang_label, " +
+        "array_to_string(list_transform(range(0, 30), i -> " +
+        "CASE WHEN i % 3 = 2 THEN 'w' || CAST((doc_id + i) % 7 AS VARCHAR) " +
+        s"ELSE ($vocabCase)[CAST((doc_id + i) % 10 + 1 AS INT)] END), ' ') AS t FROM documents), " +
+        s"scored AS (SELECT lang_label, ${sqlLangScores("t")} FROM ml) " +
+        s"SELECT lang_label, $sqlLangPredCase AS lang_pred, count(*) AS n " +
+        "FROM scored GROUP BY 1, 2 ORDER BY 1, 2"
+    },
 
     // FNV-style 64-bit rolling hash (graft.functions.Hashing.fingerprint):
     // h = h*1099511628211 + charAt(i) with signed-64 wraparound, replayed in
@@ -720,6 +777,16 @@ object SparkEntry {
       ("SELECT CAST(doc_id AS VARCHAR) AS doc_id, " +
         "CASE WHEN len(string_split(text, ' ')) > 40 THEN text ELSE '' END AS content " +
         "FROM documents ORDER BY 1"),
+    // NumWordsRules replay over the fixed 4-block template (see the bp2
+    // query comment): nav/footer are pure-link (density 1 -> boilerplate);
+    // article content iff w > 40; teaser content iff article w > 4
+    "bp2_main_content_blocks" ->
+      ("SELECT doc_id, " +
+        "CAST((CASE WHEN w > 40 THEN 1 ELSE 0 END) + (CASE WHEN w > 4 THEN 1 ELSE 0 END) AS INT) AS n_content_blocks, " +
+        "CAST((CASE WHEN w > 40 THEN length(text) ELSE 0 END) + " +
+        "(CASE WHEN w > 4 THEN length(lang || ' snippet about ' || source) ELSE 0 END) AS BIGINT) AS content_chars " +
+        "FROM (SELECT doc_id, text, lang, source, len(string_split(text, ' ')) AS w FROM documents) " +
+        "ORDER BY doc_id"),
     "mm2_pdf_layout_route" ->
       ("SELECT doc_id, 'media://' || CAST(doc_id AS VARCHAR) || " +
         "CASE WHEN doc_id % 3 = 0 THEN '.pdf' ELSE '.jpg' END AS media_ref, " +
