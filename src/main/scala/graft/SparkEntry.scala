@@ -289,7 +289,46 @@ object SparkEntry {
             """{ "s": "#b", "data": { "values": { "v": {"source": "Value"} } } }"""))
         .select(col("doc_id"), col("errs"))),
 
+    // E9: post-hoc value transform over the collected tree (asJson mode so
+    // the one serialization is the transformed one); keys stay untouched
+    "e9_data_transform" -> ((s, dir) =>
+      runEngine(s, dir,
+        Seq(L("<div id=\"m\">"), fText, L("</div>")),
+        Seq("""{ "s": "#m", "data": { "path": "d", "values": { "c": {"source": "Contents"} } } }"""),
+        EngineConfig(asJson = true,
+          dataTransform = Some(_.toUpperCase(java.util.Locale.ROOT))))
+        .select(col("doc_id"), col("html").as("json_out"))),
+
     // ---- engine: rule compilation (SURVEY §2.2) ----
+    // P2: one init bundle = MULTIPLE rule trees compiled into one program,
+    // applied in registration order; a broken tree records its error and
+    // the rest still run (ShadowApiInit::init, shadow_api.rs:70-98)
+    "p2_compile_bundle" -> ((s, dir) =>
+      runEngine(s, dir,
+        Seq(L("<p id=\"a\">"), fLang, L("</p><p id=\"b\">x</p>")),
+        Seq("""{ "s": "#a", "edit": { "content": { "op": "upsert", "val": "A" } } }""",
+            """{ "s": "", "hide": true }""",
+            """{ "s": "#b", "edit": { "content": { "op": "upsert", "val": "B" } } }"""))
+        .select(col("doc_id"), col("html"), col("errs"))),
+    // P3: stable rule ids observable through the sibling-array cursor hop
+    // (an array created by rule A must NOT absorb rule B's items;
+    // shadow_data.rs:293-297 keys the go_up on the selector id)
+    "p3_stable_ids" -> ((s, dir) =>
+      runEngine(s, dir,
+        Seq(L("<ul><li class=\"a\">"), fLang, L("</li><li class=\"a\">X"), fId,
+          L("</li><li class=\"b\">"), fSource, L("</li></ul>")),
+        Seq("""{ "s": "ul", "sub": [
+            { "s": "li.a", "data": { "path": "as.", "values": { "v": {"source": "Contents"} } } },
+            { "s": "li.b", "data": { "path": "bs.", "values": { "v": {"source": "Contents"} } } } ] }"""))
+        .select(col("doc_id"), col("data_json"))),
+    // P6: handler pruning — empty data.values disables the rule's handlers
+    // entirely (hide is NOT applied) and records the error
+    // (shadow_api.rs:230-278)
+    "p6_handler_pruning" -> ((s, dir) =>
+      runEngine(s, dir,
+        Seq(L("<i class=\"h\">"), fLang, L("</i>")),
+        Seq("""{ "s": ".h", "hide": true, "data": { "values": {} } }"""))
+        .select(col("doc_id"), col("html"), col("errs"))),
     "p1_whitespace_quirk" -> ((s, dir) =>
       runEngine(s, dir,
         Seq(L("<p id=\"w\">x</p>")),
@@ -326,6 +365,22 @@ object SparkEntry {
           (id, r.spans.map(_.text).mkString)
         }
       }.toDF("doc_id", "html").orderBy("doc_id")
+    }),
+
+    // ---- SQL surface: shadow_extract for spark.sql users (SURVEY §4.3) ----
+    "sq1_sql_shadow_extract" -> ((s, dir) => {
+      graft.spark.SqlFunctions.register(s)
+      documents(s, dir).createOrReplaceTempView("graft_docs_sq1")
+      s.sql(
+        """SELECT doc_id, r.html AS html, r.data_json AS data_json FROM (
+          |  SELECT doc_id, shadow_extract(
+          |    array(named_struct(
+          |      'kind', 'html',
+          |      'text', concat('<a class="z" href="http://site/', source, '/',
+          |                     cast(doc_id as string), '">', lang, '</a>'),
+          |      'media_ref', '', 'offset', 0)),
+          |    '{"s":"a.z","edit":{"attrs":{"rel":{"op":"upsert","val":"nofollow"}}},"data":{"path":"d","values":{"u":{"source":"Attribute","name":"href"},"t":{"source":"Contents"}}}}'
+          |  ) AS r FROM graft_docs_sq1) ORDER BY doc_id""".stripMargin)
     }),
 
     // ---- relational / scale ops over TPC-H-ish tables ----
@@ -607,10 +662,23 @@ object SparkEntry {
       ("SELECT CAST(doc_id AS VARCHAR) AS doc_id, 'Invalid operation (edit.attrs.k): bogus. Allowed values : " +
         "delete/upsert/match_replace|Unimplemented input: ''span'' (TODO)' AS errs FROM documents ORDER BY 1"),
 
+    "e9_data_transform" ->
+      "SELECT CAST(doc_id AS VARCHAR) AS doc_id, '{\"d\":{\"c\":\"' || upper(text) || '\"}}' AS json_out FROM documents ORDER BY 1",
+
     // "A\nB    C" -> newlines stripped -> "AB    C" -> one "  "->" " pass
     // halves the 4-space run -> "AB  C"
     "p1_whitespace_quirk" -> oracleFor(
       Seq(L("<p id=\"w\">AB  C</p>")), Seq(L("{}"))),
+    "p2_compile_bundle" ->
+      ("SELECT CAST(doc_id AS VARCHAR) AS doc_id, '<p id=\"a\">A</p><p id=\"b\">B</p>' AS html, " +
+        "'Empty selector' AS errs FROM documents ORDER BY 1"),
+    "p3_stable_ids" ->
+      ("SELECT CAST(doc_id AS VARCHAR) AS doc_id, " +
+        "'{\"as\":[{\"v\":\"' || lang || '\"},{\"v\":\"X' || CAST(doc_id AS VARCHAR) || '\"}],\"bs\":[{\"v\":\"' || source || '\"}]}' AS data_json " +
+        "FROM documents ORDER BY 1"),
+    "p6_handler_pruning" ->
+      ("SELECT CAST(doc_id AS VARCHAR) AS doc_id, '<i class=\"h\">' || lang || '</i>' AS html, " +
+        "'Invalid def : ''data.values'' is not an object' AS errs FROM documents ORDER BY 1"),
     "p4_selector_flattening" ->
       "SELECT CAST(doc_id AS VARCHAR) AS doc_id, '{\"d\":{\"v\":\"' || source || '\"}}' AS data_json FROM documents ORDER BY 1",
     // Reference quirk kept: the invalid selector "p[" is NOT popped off the
@@ -623,6 +691,15 @@ object SparkEntry {
         "FROM documents ORDER BY 1"),
     "p7_transform_strings" ->
       "SELECT CAST(doc_id AS VARCHAR) AS doc_id, '<div id=\"t\">VAL_SWAPPED<i>SWAPPED</i></div>' AS html FROM documents ORDER BY 1",
+
+    // shadow_extract via SQL: rewrite adds rel="nofollow" (new attrs append
+    // at tag end), extraction sees the post-edit doc; no body -> no
+    // injection span, html = the rewritten anchor alone
+    "sq1_sql_shadow_extract" ->
+      ("SELECT doc_id, '<a class=\"z\" href=\"http://site/' || source || '/' || CAST(doc_id AS VARCHAR) || " +
+        "'\" rel=\"nofollow\">' || lang || '</a>' AS html, " +
+        "'{\"d\":{\"u\":\"http://site/' || source || '/' || CAST(doc_id AS VARCHAR) || '\",\"t\":\"' || lang || '\"}}' AS data_json " +
+        "FROM documents ORDER BY doc_id"),
 
     "q1_agg" ->
       ("SELECT l_returnflag, l_linestatus, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, " +

@@ -15,7 +15,12 @@ import scala.collection.mutable.ArrayBuffer
 final case class EngineConfig(
     asJson: Boolean = false,
     dataFormatter: String => String = EngineConfig.defaultFormatter,
-    strictJsonEscape: Boolean = false)
+    strictJsonEscape: Boolean = false,
+    /** E9 (ShadowData::transform_strings, shadow_data.rs:251-269): the
+      * reference user applies this post-hoc to the collected tree, so it
+      * transforms the final data_json (values only, never keys) but NOT
+      * the mid-stream body injection (S7), which has already serialized. */
+    dataTransform: Option[String => String] = None)
     extends Serializable
 
 object EngineConfig {
@@ -486,6 +491,7 @@ final class ShadowEngine(program: RuleProgram) extends Serializable {
       }
     }
 
+    config.dataTransform.foreach(cursor.root.transformStrings)
     val dataJson = DNode.toJson(cursor.root, config.strictJsonEscape)
 
     // ---- serialization: arena + overlay -> output spans ----

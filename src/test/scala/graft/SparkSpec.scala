@@ -256,6 +256,25 @@ class SparkSpec extends AnyFunSuite {
     assert(lsh == exact, s"recall loss on planted sample: ${exact -- lsh}")
   }
 
+  test("shadow_extract SQL function: rewrite+extraction via spark.sql, media-split text coalesces") {
+    graft.spark.SqlFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT shadow_extract(array(
+        |  named_struct('kind','html','text','<div id="t">he','media_ref','','offset',0),
+        |  named_struct('kind','media','text','payload','media_ref','m://1','offset',1),
+        |  named_struct('kind','html','text','llo</div>','media_ref','','offset',2)),
+        |'{"s":"#t","data":{"path":"d","values":{"c":{"source":"Contents"}}}}') AS r""".stripMargin)
+      .select("r.html", "r.data_json", "r.errors").head()
+    assert(r.getString(0) == """<div id="t">hello</div>""")
+    assert(r.getString(1) == """{"d":{"c":"hello"}}""")
+    assert(r.getSeq[String](2).isEmpty)
+    // compile errors surface per row
+    val bad = spark.sql(
+      """SELECT shadow_extract(array(named_struct('kind','html','text','<p>x</p>','media_ref','','offset',0)),
+        |'{"s":"p[","hide":true}').errors AS e""".stripMargin).head().getSeq[String](0)
+    assert(bad.exists(_.startsWith("Selector p[ is invalid")))
+  }
+
   test("tx1: language-ID heuristic on real-language samples") {
     import graft.functions.Hashing
     assert(Hashing.langId("the cat sat on the mat and it was happy") == "en")
