@@ -55,7 +55,13 @@ object ShadowSpark {
     * schema: rows are consumed as InternalRows (UTF8String decode only, no
     * generic Encoder deserializer, no intermediate Seq materialization) —
     * measurably better task-level scaling since decode allocation is the
-    * non-scaling part of the pipeline on many-core executors. */
+    * non-scaling part of the pipeline on many-core executors.
+    *
+    * Safety: any set null bit (array element or struct field) drops the row
+    * to the generic accessors, which surface the null explicitly instead of
+    * reading bytes at offset 0; and each task's first fast-decoded row is
+    * cross-checked byte-for-byte against the generic decode, pinning the
+    * generic path if Spark's internal layout ever drifts. */
   def processColumnar(df: org.apache.spark.sql.DataFrame, program: RuleProgram): Dataset[DocOut] = {
     val spark = df.sparkSession
     import spark.implicits._
@@ -64,8 +70,104 @@ object ShadowSpark {
     val rdd = df.select(col("doc_id"), col("spans")).queryExecution.toRdd.mapPartitions { it =>
       val engine = new ShadowEngine(bc.value)
       var buf = new Array[Byte](16384) // per-task reusable byte scratch
+      var chkBuf = new Array[Byte](0) // self-check scratch (first fast row only)
       val markers = new scala.collection.mutable.ArrayBuffer[graft.html.HtmlParser.MediaMarker](8)
+      val chkMarkers = new scala.collection.mutable.ArrayBuffer[graft.html.HtmlParser.MediaMarker](8)
       val utf8 = java.nio.charset.StandardCharsets.UTF_8
+      // One-time layout self-check: the raw fast path hand-decodes Spark's
+      // internal UnsafeArrayData layout; a Spark upgrade that moves it must
+      // degrade to the generic accessors, NEVER corrupt data silently. The
+      // first fast-decoded row of each task is re-decoded generically and
+      // compared; on mismatch the task pins the generic path.
+      var fastOk = true
+      var fastChecked = false
+
+      // generic accessor decode (allocates ~4 wrappers per span)
+      def decodeGeneric(arr: org.apache.spark.sql.catalyst.util.ArrayData, n: Int,
+                        buf0: Array[Byte],
+                        mk: scala.collection.mutable.ArrayBuffer[graft.html.HtmlParser.MediaMarker])
+          : (Array[Byte], Int) = {
+        var b = buf0
+        var bytePos = 0
+        var i = 0
+        while (i < n) {
+          val st = arr.getStruct(i, 4)
+          val kind = st.getUTF8String(0)
+          if (kind == kindMedia) {
+            mk += graft.html.HtmlParser.MediaMarker(
+              bytePos, st.getUTF8String(2).toString, st.getUTF8String(1).toString)
+          } else {
+            val u = st.getUTF8String(1)
+            val nb = u.numBytes()
+            if (bytePos + nb > b.length)
+              b = java.util.Arrays.copyOf(b, math.max(b.length * 2, bytePos + nb))
+            u.writeTo(java.nio.ByteBuffer.wrap(b, bytePos, nb))
+            bytePos += nb
+          }
+          i += 1
+        }
+        (b, bytePos)
+      }
+
+      // Raw-layout fast path: the generic accessors allocate a wrapper
+      // per struct element and per string field (~4 per span, ~120 per
+      // doc) — at 350k docs/s that wrapper churn alone is >1 GB/s of
+      // garbage and is what keeps the decode half from scaling. Read
+      // the UnsafeArrayData layout directly instead:
+      //   [numElements:8][null bits: ceil(n/64)*8][n x 8B (off<<32|sz)]
+      // struct element -> UnsafeRow bytes at arrayBase+off:
+      //   [null bits: 8][4 x 8B slots]; string slots hold off<<32|sz
+      //   relative to the STRUCT start; int slot holds the value.
+      // Returns -1 when any null bit is set (the generic path then decides
+      // what a null span/field means instead of reading garbage bytes).
+      def decodeFast(ua: org.apache.spark.sql.catalyst.expressions.UnsafeArrayData, n: Int,
+                     base: Array[Byte], buf0: Array[Byte],
+                     mk: scala.collection.mutable.ArrayBuffer[graft.html.HtmlParser.MediaMarker])
+          : (Array[Byte], Int) = {
+        var b = buf0
+        var bytePos = 0
+        val a0 = ua.getBaseOffset
+        val nullWords = (n + 63) / 64
+        var w = 0
+        while (w < nullWords) {
+          if (org.apache.spark.unsafe.Platform.getLong(base, a0 + 8 + w * 8L) != 0L)
+            return (b, -1) // null element present
+          w += 1
+        }
+        val elems = a0 + 8 + (nullWords.toLong * 8)
+        val B = org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET
+        var i = 0
+        while (i < n) {
+          val os = org.apache.spark.unsafe.Platform.getLong(base, elems + i * 8L)
+          val st = a0 + (os >>> 32) // struct base (absolute)
+          if (org.apache.spark.unsafe.Platform.getLong(base, st) != 0L)
+            return (b, -1) // null struct field present
+          def fieldOff(f: Int): Long =
+            org.apache.spark.unsafe.Platform.getLong(base, st + 8 + f * 8L)
+          val kOs = fieldOff(0)
+          val kLen = kOs.toInt
+          val kIdx = (st + (kOs >>> 32) - B).toInt
+          val isMedia = kLen == 5 && base(kIdx) == 'm' && base(kIdx + 1) == 'e' &&
+            base(kIdx + 2) == 'd' && base(kIdx + 3) == 'i' && base(kIdx + 4) == 'a'
+          val tOs = fieldOff(1)
+          val tLen = tOs.toInt
+          val tIdx = (st + (tOs >>> 32) - B).toInt
+          if (isMedia) {
+            val rOs = fieldOff(2)
+            mk += graft.html.HtmlParser.MediaMarker(bytePos,
+              new String(base, (st + (rOs >>> 32) - B).toInt, rOs.toInt, utf8),
+              new String(base, tIdx, tLen, utf8))
+          } else {
+            if (bytePos + tLen > b.length)
+              b = java.util.Arrays.copyOf(b, math.max(b.length * 2, bytePos + tLen))
+            System.arraycopy(base, tIdx, b, bytePos, tLen)
+            bytePos += tLen
+          }
+          i += 1
+        }
+        (b, bytePos)
+      }
+
       it.map { row =>
         val docId = row.getUTF8String(0).toString
         val arr = row.getArray(1)
@@ -76,68 +178,32 @@ object ShadowSpark {
         // per-span toString + builder append would copy every char three
         // times. Media markers record BYTE positions first and are remapped
         // to UTF-16 char positions in one pass (only for docs with media).
-        var bytePos = 0
+        var bytePos = -1
         arr match {
           case ua: org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
-              if ua.getBaseObject.isInstanceOf[Array[Byte]] =>
-            // Raw-layout fast path: the generic accessors allocate a wrapper
-            // per struct element and per string field (~4 per span, ~120 per
-            // doc) — at 350k docs/s that wrapper churn alone is >1 GB/s of
-            // garbage and is what keeps the decode half from scaling. Read
-            // the UnsafeArrayData layout directly instead:
-            //   [numElements:8][null bits: ceil(n/64)*8][n x 8B (off<<32|sz)]
-            // struct element -> UnsafeRow bytes at arrayBase+off:
-            //   [null bits: 8][4 x 8B slots]; string slots hold off<<32|sz
-            //   relative to the STRUCT start; int slot holds the value.
+              if fastOk && ua.getBaseObject.isInstanceOf[Array[Byte]] =>
             val base = ua.getBaseObject.asInstanceOf[Array[Byte]]
-            val a0 = ua.getBaseOffset
-            val elems = a0 + 8 + (((n + 63) / 64) * 8)
-            val B = org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET
-            var i = 0
-            while (i < n) {
-              val os = org.apache.spark.unsafe.Platform.getLong(base, elems + i * 8L)
-              val st = a0 + (os >>> 32) // struct base (absolute)
-              def fieldOff(f: Int): Long =
-                org.apache.spark.unsafe.Platform.getLong(base, st + 8 + f * 8L)
-              val kOs = fieldOff(0)
-              val kLen = kOs.toInt
-              val kIdx = (st + (kOs >>> 32) - B).toInt
-              val isMedia = kLen == 5 && base(kIdx) == 'm' && base(kIdx + 1) == 'e' &&
-                base(kIdx + 2) == 'd' && base(kIdx + 3) == 'i' && base(kIdx + 4) == 'a'
-              val tOs = fieldOff(1)
-              val tLen = tOs.toInt
-              val tIdx = (st + (tOs >>> 32) - B).toInt
-              if (isMedia) {
-                val rOs = fieldOff(2)
-                markers += graft.html.HtmlParser.MediaMarker(bytePos,
-                  new String(base, (st + (rOs >>> 32) - B).toInt, rOs.toInt, utf8),
-                  new String(base, tIdx, tLen, utf8))
-              } else {
-                if (bytePos + tLen > buf.length)
-                  buf = java.util.Arrays.copyOf(buf, math.max(buf.length * 2, bytePos + tLen))
-                System.arraycopy(base, tIdx, buf, bytePos, tLen)
-                bytePos += tLen
+            val r = decodeFast(ua, n, base, buf, markers)
+            buf = r._1; bytePos = r._2
+            if (bytePos >= 0 && !fastChecked) {
+              fastChecked = true
+              chkMarkers.clear()
+              val g = decodeGeneric(arr, n, chkBuf, chkMarkers)
+              chkBuf = g._1
+              val same = g._2 == bytePos &&
+                java.util.Arrays.equals(buf, 0, bytePos, chkBuf, 0, g._2) &&
+                chkMarkers == markers
+              if (!same) { // layout drift: pin the generic path for the task
+                fastOk = false
+                bytePos = -1
               }
-              i += 1
             }
           case _ =>
-            var i = 0
-            while (i < n) {
-              val st = arr.getStruct(i, 4)
-              val kind = st.getUTF8String(0)
-              if (kind == kindMedia) {
-                markers += graft.html.HtmlParser.MediaMarker(
-                  bytePos, st.getUTF8String(2).toString, st.getUTF8String(1).toString)
-              } else {
-                val u = st.getUTF8String(1)
-                val nb = u.numBytes()
-                if (bytePos + nb > buf.length)
-                  buf = java.util.Arrays.copyOf(buf, math.max(buf.length * 2, bytePos + nb))
-                u.writeTo(java.nio.ByteBuffer.wrap(buf, bytePos, nb))
-                bytePos += nb
-              }
-              i += 1
-            }
+        }
+        if (bytePos < 0) { // generic path (non-unsafe input, nulls, or drift)
+          markers.clear()
+          val g = decodeGeneric(arr, n, buf, markers)
+          buf = g._1; bytePos = g._2
         }
         if (markers.nonEmpty) {
           // byte offset -> UTF-16 char offset: count non-continuation bytes,
@@ -176,7 +242,15 @@ object ShadowSpark {
       var hi: String = null
       var n = 0L
       var checksum = 0L
-      val mapped = it.map { doc =>
+      // emit exactly one lineage row per task at completion: a completion
+      // listener (not a drained-iterator probe) so a downstream `limit`
+      // that stops consuming early still records what WAS processed
+      val tc = TaskContext.get()
+      if (tc != null) tc.addTaskCompletionListener[Unit] { _ =>
+        acc.add(LineageRow(tc.partitionId(), Option(lo).getOrElse(""), Option(hi).getOrElse(""),
+          n, checksum, (System.nanoTime() - t0) / 1000000L))
+      }
+      it.map { doc =>
         val r = engine.process(doc)
         if (lo == null || doc.doc_id < lo) lo = doc.doc_id
         if (hi == null || doc.doc_id > hi) hi = doc.doc_id
@@ -184,19 +258,6 @@ object ShadowSpark {
         checksum ^= java.lang.Long.rotateLeft(
           r.data_json.hashCode.toLong * 0x9e3779b97f4a7c15L + r.spans.length, (n % 63).toInt)
         r
-      }
-      new Iterator[DocOut] {
-        override def hasNext: Boolean = {
-          val h = mapped.hasNext
-          if (!h && n >= 0) { // partition drained: emit lineage once
-            val pid = TaskContext.getPartitionId()
-            acc.add(LineageRow(pid, Option(lo).getOrElse(""), Option(hi).getOrElse(""),
-              n, checksum, (System.nanoTime() - t0) / 1000000L))
-            n = -1 // guard against double-add on repeated hasNext
-          }
-          h
-        }
-        override def next(): DocOut = mapped.next()
       }
     }
     (out, acc)

@@ -91,6 +91,57 @@ object Sessionize {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
   }
 
+  /** Streaming sessionization that ALSO flushes trailing sessions: same
+    * state machine as `streaming`, plus an event-time timeout at
+    * last_event + gap — when the watermark passes it, the open session is
+    * emitted and its state removed, completing the streaming story (with
+    * `NoTimeout` a user's last session would sit in the state store until
+    * that user reappeared). State remains O(1) per ACTIVE user and is
+    * reclaimed on flush. */
+  def streamingWithTimeout(events: Dataset[Event], gapMinutes: Int = 30,
+                           watermarkDelay: String = "1 minute"): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapMinutes * 60000L
+
+    def fn(userId: Long, it: Iterator[Event], state: GroupState[(Long, SessState)])
+        : Iterator[Session] = {
+      if (state.hasTimedOut) {
+        val (idx, cur) = state.get
+        state.remove()
+        Iterator.single(Session(userId, idx, new Timestamp(cur.startMs),
+          new Timestamp(cur.lastMs), cur.n, cur.cents))
+      } else {
+        val out = scala.collection.mutable.ArrayBuffer[Session]()
+        var (idx, cur) = state.getOption.getOrElse((0L, null: SessState))
+        it.toSeq.sortBy(_.ts.getTime).foreach { e =>
+          val t = e.ts.getTime
+          val cents = math.round(e.value * 100)
+          if (cur == null) {
+            idx += 1
+            cur = SessState(t, t, 1, cents)
+          } else if (t - cur.lastMs > gapMs) {
+            out += Session(userId, idx, new Timestamp(cur.startMs), new Timestamp(cur.lastMs),
+              cur.n, cur.cents)
+            idx += 1
+            cur = SessState(t, t, 1, cents)
+          } else {
+            cur = SessState(cur.startMs, math.max(cur.lastMs, t), cur.n + 1, cur.cents + cents)
+          }
+        }
+        if (cur != null) {
+          state.update((idx, cur))
+          state.setTimeoutTimestamp(cur.lastMs + gapMs)
+        }
+        out.iterator
+      }
+    }
+
+    events.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
   /** Watermarked tumbling-window aggregation over a streaming events feed
     * (the standard windowed-agg shape; q4 is its batch twin). */
   def windowedCounts(streamEvents: DataFrame): DataFrame =

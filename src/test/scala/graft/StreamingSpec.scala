@@ -71,6 +71,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("event-time timeout flushes the trailing session once the watermark passes it") {
+    import graft.streaming.Sessionize
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val events = mem.toDS()
+      .toDF("user_id", "ts", "value").as[Sessionize.Event]
+    val q = Sessionize.streamingWithTimeout(events, gapMinutes = 30)
+      .writeStream.outputMode("append").format("memory").queryName("graft_sess_to").start()
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+    try {
+      // user 1's only session: two events, never followed by another
+      mem.addData((1L, ts(600), 1.0), (1L, ts(605), 2.0))
+      q.processAllAvailable()
+      assert(spark.table("graft_sess_to").count() == 0) // still open
+      // a much later event from user 2 advances the watermark far past
+      // user 1's last_event + gap -> user 1's trailing session must flush
+      mem.addData((2L, ts(2000), 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("graft_sess_to").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("n_events"), r.getAs[Long]("value_cents")))
+      assert(rows.toSet == Set((1L, 1L, 2L, 300L)), s"got ${rows.mkString(",")}")
+    } finally q.stop()
+  }
+
   test("stateful sessionization (flatMapGroupsWithState) matches batch closed sessions") {
     import graft.streaming.Sessionize
     val eventsDf = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
