@@ -110,6 +110,40 @@ object RuleCompiler {
   }
 }
 
+/** Reusable per-task output-span accumulator (parallel arrays, offset ==
+  * index): the engine's output side allocates NO Span/DocOut/Seq objects
+  * when consumed through `processStreamAcc` — the raw row-emission path
+  * (ShadowSpark.processColumnarRaw) writes UnsafeRows straight from it.
+  * Contents are valid until the next process call on the same engine. */
+final class SpanAcc {
+  var n = 0
+  var kinds: Array[String] = new Array[String](8)
+  var texts: Array[String] = new Array[String](8)
+  var refs: Array[String] = new Array[String](8)
+  var dataJson: String = ""
+  var errors: ArrayBuffer[String] = new ArrayBuffer[String]
+
+  def clear(): Unit = n = 0
+
+  def add(kind: String, text: String, ref: String): Unit = {
+    if (n == kinds.length) {
+      val cap = n * 2
+      kinds = java.util.Arrays.copyOf(kinds, cap)
+      texts = java.util.Arrays.copyOf(texts, cap)
+      refs = java.util.Arrays.copyOf(refs, cap)
+    }
+    kinds(n) = kind; texts(n) = text; refs(n) = ref
+    n += 1
+  }
+
+  def toSpans: Seq[Span] = {
+    val out = new Array[Span](n)
+    var i = 0
+    while (i < n) { out(i) = Span(kinds(i), texts(i), refs(i), i); i += 1 }
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
+  }
+}
+
 /** Per-task engine instance: pure per-row function
   * (rules, spans) -> (spans_out, data_json, errors). Holds only a regex
   * memo cache across rows (reference: regex_map in the parse cache,
@@ -164,37 +198,54 @@ final class ShadowEngine(program: RuleProgram) extends Serializable {
     processStream(doc.doc_id, sb.toString, markers)
   }
 
+  @transient private lazy val scratchAcc = new SpanAcc
+
   /** Stream-level entry: the document's concatenated non-media text plus
     * media markers at char positions (lets callers that already hold the
     * raw columns skip Span/Doc materialization entirely). */
   def processStream(docId: String, stream: String,
                     markers: scala.collection.Seq[HtmlParser.MediaMarker]): DocOut = {
-    val errors = new ArrayBuffer[String]
+    val acc = processStreamAcc(stream, markers)
+    DocOut(docId, acc.toSpans, acc.dataJson, acc.errors.toSeq)
+  }
+
+  /** Zero-object output path: fills the per-task SpanAcc (parallel string
+    * arrays) instead of allocating Span/DocOut/Seq per row — the raw
+    * row-emission path consumes it directly. The returned accumulator is
+    * reused by the next call on this engine. */
+  def processStreamAcc(stream: String,
+                       markers: scala.collection.Seq[HtmlParser.MediaMarker]): SpanAcc = {
+    val acc = scratchAcc
+    acc.clear()
+    acc.dataJson = ""
+    val errors = acc.errors
+    errors.clear()
     errors ++= program.compileErrors
     try {
-      processInternal(docId, stream, markers, errors)
+      processInternal(stream, markers, errors, acc)
     } catch {
       case e: DataTreeError =>
         // The reference would panic (process crash); we record and move on.
+        acc.clear(); acc.dataJson = ""
         errors += s"[engine] ${e.getMessage}"
-        DocOut(docId, Seq.empty, "", errors.toSeq)
       case e: StackOverflowError =>
         // Engine traversal is iterative (heap stacks), but residual deep
         // recursion (e.g. a pathological data tree in the JSON serializer)
         // must degrade to an error ROW, not kill the executor task: a
         // StackOverflowError is an Error, so a plain Exception guard would
         // let one adversarial crawled document fail the job after retries.
+        acc.clear(); acc.dataJson = ""
         errors += "[engine] internal error: StackOverflowError: document exceeds depth limits"
-        DocOut(docId, Seq.empty, "", errors.toSeq)
       case scala.util.control.NonFatal(e) =>
+        acc.clear(); acc.dataJson = ""
         errors += s"[engine] internal error: ${e.getClass.getSimpleName}: ${e.getMessage}"
-        DocOut(docId, Seq.empty, "", errors.toSeq)
     }
+    acc
   }
 
-  private def processInternal(docId: String, stream: String,
+  private def processInternal(stream: String,
                               markers: scala.collection.Seq[HtmlParser.MediaMarker],
-                              errors: ArrayBuffer[String]): DocOut = {
+                              errors: ArrayBuffer[String], acc: SpanAcc): Unit = {
     val a = HtmlParser.parse(stream, markers, namePool, scratchArena)
 
     // ---- mutation overlay (per-task scratch, cleared for this doc) ----
@@ -494,24 +545,23 @@ final class ShadowEngine(program: RuleProgram) extends Serializable {
     config.dataTransform.foreach(cursor.root.transformStrings)
     val dataJson = DNode.toJson(cursor.root, config.strictJsonEscape)
 
-    // ---- serialization: arena + overlay -> output spans ----
-    val outSpans = new ArrayBuffer[Span]
+    // ---- serialization: arena + overlay -> output spans (into acc) ----
     val hb = new java.lang.StringBuilder(stream.length + 64)
     def flushHtml(): Unit =
-      if (hb.length > 0) { outSpans += Span(SpanKinds.Html, hb.toString, "", outSpans.length); hb.setLength(0) }
+      if (hb.length > 0) { acc.add(SpanKinds.Html, hb.toString, ""); hb.setLength(0) }
 
     def emitList(l: ArrayBuffer[String]): Unit = if (l != null) l.foreach(hb.append)
 
     def emitMediaSpan(node: Int): Unit = {
       flushHtml()
-      outSpans += Span(SpanKinds.Media, a.mediaText(a.rawS(node)), a.name(node), outSpans.length)
+      acc.add(SpanKinds.Media, a.mediaText(a.rawS(node)), a.name(node))
     }
 
     def emitEndOf(node: Int): Unit = {
       emitList(appendL(node))
       if (dataInjection(node) != null && dataInjection(node).nonEmpty) {
         flushHtml()
-        outSpans += Span(SpanKinds.Data, dataInjection(node), "", outSpans.length)
+        acc.add(SpanKinds.Data, dataInjection(node), "")
       }
       hb.append(a.src, a.rawEndS(node), a.rawEndE(node))
     }
@@ -604,13 +654,13 @@ final class ShadowEngine(program: RuleProgram) extends Serializable {
     if (config.asJson) {
       // as_json: HTML output discarded; the JSON itself is the output
       // stream (process_json, shadow_api.rs:714-732)
-      outSpans += Span(SpanKinds.Data, dataJson, "", 0)
+      acc.add(SpanKinds.Data, dataJson, "")
     } else {
       emit(0)
       flushHtml()
     }
 
-    DocOut(docId, outSpans.toSeq, dataJson, errors.toSeq)
+    acc.dataJson = dataJson
   }
 
   /** lol_html ContentType::Text escaping. */

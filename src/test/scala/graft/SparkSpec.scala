@@ -70,6 +70,23 @@ class SparkSpec extends AnyFunSuite {
       Seq("media://u1/a", "media://u1/b"))
   }
 
+  test("processColumnarRaw (UnsafeRow emission) equals the typed path exactly") {
+    val dir = tmpDir("graft_raw").toString
+    // media spans + mega-doc skew + compile errors all represented
+    Corpus.generate(spark, 250, 4, megaEvery = 83).write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir)
+    val typed = ShadowSpark.process(
+      df.as[Doc], program).collect().sortBy(_.doc_id).toSeq
+    val raw = ShadowSpark.processColumnarRaw(df, program)
+      .as[DocOut].collect().sortBy(_.doc_id).toSeq
+    assert(raw == typed)
+    // and the raw rows survive a real columnar write+read round-trip
+    val outDir = tmpDir("graft_raw_out").toString
+    ShadowSpark.processColumnarRaw(df, program).write.mode("overwrite").parquet(outDir)
+    val reread = spark.read.parquet(outDir).as[DocOut].collect().sortBy(_.doc_id).toSeq
+    assert(reread == typed)
+  }
+
   test("parallelism invariance: local partitioning does not change results") {
     val one = ShadowSpark.process(Corpus.generate(spark, 200, 1), program)
       .collect().sortBy(_.doc_id).toSeq
