@@ -35,11 +35,12 @@ object BenchCluster {
           new java.io.File("target/scala-2.13/classes").getAbsolutePath))
       .config("spark.sql.shuffle.partitions", nExec * 4)
       .config("spark.sql.adaptive.enabled", "true")
-      // executor mode pays an RPC round-trip per task: fewer/larger splits
-      // (8m default vs 2m in-process) cut dispatch overhead on the 1-exec
-      // side less than on the 4-exec side, improving measured efficiency
+      // split-size sweep (2026-08-16, 300k docs, 1 vs 4 executors): 2m
+      // splits beat 8m/16m on the 4-executor side — with ~450 MB of input,
+      // 16 cores need many task waves for balance, so wave granularity
+      // dominates the per-task RPC cost the larger splits were meant to cut
       .config("spark.sql.files.maxPartitionBytes",
-        sys.env.getOrElse("SPARK_GRAFT_EXEC_MPB", "8m"))
+        sys.env.getOrElse("SPARK_GRAFT_EXEC_MPB", "2m"))
       .config("spark.sql.files.openCostInBytes", "64k")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
