@@ -156,6 +156,46 @@ ORDER BY id1, id2"""
     * member) — replaying
     * Dedup.minhashCandidateAnchors(Dedup.exactSurvivors(...)). */
   def dd2MinhashLsh: String = {
+    val (ctes, pairSelect) = dd2Parts
+    s"WITH $ctes\n$pairSelect ORDER BY id1, id2"
+  }
+
+  /** dd6_dedup_components: recursive-CTE replay of the min-label
+    * connected-components closure over the dd2 anchor pairs —
+    * component(x) = min doc_id reachable from x in the undirected
+    * candidate graph (Dedup.connectedComponents converges to the same). */
+  def dd6ConnectedComponents: String = {
+    val (ctes, perDoc) = ccParts
+    s"WITH RECURSIVE $ctes\n$perDoc\nORDER BY s.doc_id"
+  }
+
+  /** pipe2_dedup_pipeline: summary aggregate over the same closure —
+    * survivors, kept (component representatives), distinct components. */
+  def pipe2DedupPipeline: String = {
+    val (ctes, perDoc) = ccParts
+    s"""WITH RECURSIVE $ctes
+SELECT COUNT(*) AS n_surv,
+  CAST(SUM(CASE WHEN doc_id = component THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+  CAST(COUNT(DISTINCT component) AS BIGINT) AS n_components
+FROM ($perDoc)"""
+  }
+
+  private def ccParts: (String, String) = {
+    val (ctes, pairSelect) = dd2Parts
+    val cteBlock = s"""$ctes,
+prs AS ($pairSelect),
+und AS (SELECT id1 AS a, id2 AS b FROM prs UNION SELECT id2, id1 FROM prs),
+reach(a, b) AS (SELECT a, b FROM und
+  UNION SELECT r.a, u.b FROM reach r JOIN und u ON u.a = r.b),
+comp AS (SELECT a AS doc_id, MIN(b) AS mn FROM reach GROUP BY a)"""
+    val perDoc =
+      """SELECT s.doc_id, CAST(COALESCE(LEAST(c.mn, s.doc_id), s.doc_id) AS BIGINT) AS component
+FROM (SELECT doc_id FROM surv) s LEFT JOIN comp c USING (doc_id)"""
+    (cteBlock, perDoc)
+  }
+
+  /** Shared CTE block + anchor-pair select for the dd2 replay. */
+  private def dd2Parts: (String, String) = {
     val smj = (0 until 64)
       .map(j => sm64Scala(j.toLong * java.lang.Long.parseUnsignedLong("2545F4914F6CDD1D", 16)))
     val smjVals = smj.zipWithIndex
@@ -174,7 +214,7 @@ ORDER BY id1, id2"""
       prev = cur
     }
     val bands = bandCtes.toString.stripSuffix(",\n")
-    s"""WITH $survCte,
+    val ctes = s"""$survCte,
 base AS (SELECT doc_id, text, list_filter(string_split(text,' '), t -> t <> '') AS toks FROM surv),
 shing AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 3
     THEN list_transform(range(1, len(toks)-1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ')
@@ -189,9 +229,10 @@ sig AS (SELECT doc_id, j, MIN(CAST(CASE WHEN z >= CAST('9223372036854775808' AS 
     THEN z - $P64 ELSE z END AS BIGINT)) AS sig FROM v3 GROUP BY doc_id, j),
 b0 AS (SELECT doc_id, i, ${xoru(hu(FnvH0), "i")} AS z
        FROM (SELECT DISTINCT doc_id FROM sig) CROSS JOIN (SELECT unnest(range(16)) AS i)),
-$bands
-SELECT DISTINCT id1, id2 FROM (
+$bands"""
+    val pairSelect = s"""SELECT DISTINCT id1, id2 FROM (
   SELECT MIN(doc_id) OVER (PARTITION BY i, z) AS id1, doc_id AS id2 FROM $prev)
-WHERE id2 > id1 ORDER BY id1, id2"""
+WHERE id2 > id1"""
+    (ctes, pairSelect)
   }
 }

@@ -416,6 +416,25 @@ object SparkEntry {
     }),
     "q5_sessionize" -> ((s, dir) =>
       graft.streaming.Sessionize.batch(events(s, dir), gapMinutes = 30)),
+    // grouping-sets family: ROLLUP over the agg dimensions (subtotal rows
+    // re-labeled 'ALL' so both engines emit identical non-null keys)
+    "q6_rollup" -> ((s, dir) =>
+      lineitem(s, dir).rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity").cast("long")).as("sum_qty"), count(lit(1)).as("n"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("sum_qty"), col("n"))
+        .orderBy("rf", "ls")),
+    // set operations: EXCEPT / INTERSECT between two derived doc sets
+    "q7_setops" -> ((s, dir) => {
+      val d = documents(s, dir)
+      val a = d.where(size(split(col("text"), " ")) > 40).select(col("doc_id"))
+      val b = d.where(col("lang") === "en").select(col("doc_id"))
+      a.except(b).withColumn("op", lit("except"))
+        .unionByName(a.intersect(b).withColumn("op", lit("intersect")))
+        .select(col("op"), col("doc_id"))
+        .orderBy("op", "doc_id")
+    }),
     "q4_events_window" -> ((s, dir) =>
       events(s, dir)
         .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
@@ -447,6 +466,16 @@ object SparkEntry {
       Dedup.embeddingNearDupLshQ(embeddings(s, dir), planes = 8, seed = 42L,
           num = 4L, den = 25L)
         .orderBy("id1", "id2")),
+
+    // dd6: the dedup CLOSURE — connected components over the dd2 anchor
+    // pairs via iterative min-label propagation (one keep-decision per
+    // duplicate cluster, chains across buckets resolved)
+    "dd6_dedup_components" -> ((s, dir) => {
+      val surv = Dedup.exactSurvivors(documents(s, dir))
+      val pairs = Dedup.minhashCandidateAnchors(surv)
+      Dedup.connectedComponents(pairs, surv.select(col("doc_id")))
+        .orderBy("doc_id")
+    }),
 
     // ---- similarity search ----
     "ann1_quantized_topk" -> ((s, dir) => {
@@ -494,6 +523,9 @@ object SparkEntry {
         .orderBy("lang_label", "lang_pred")
     }),
     "tx2_quality" -> ((s, dir) => TextStats.quality(documents(s, dir)).orderBy("doc_id")),
+    // Gopher-style quality gate (public-paper heuristics), integer-exact
+    "tx5_gopher_quality" -> ((s, dir) =>
+      TextStats.gopherQuality(documents(s, dir)).orderBy("doc_id")),
     "tx3_token_counts" -> ((s, dir) => TextStats.tokenCounts(documents(s, dir)).orderBy("doc_id")),
     "tx4_fingerprint" -> ((s, dir) => TextStats.fingerprints(documents(s, dir)).orderBy("doc_id")),
 
@@ -550,6 +582,19 @@ object SparkEntry {
     // the article is content iff its word count > 40 (prev is a pure-link
     // nav), the teaser iff the article has > 4 words. Corpus-shaped docs
     // stay covered by BoilerplateSpec.
+    // pipe2: the COMPOSED dedup pipeline — exact survivors -> minhash
+    // anchor pairs -> connected components -> keep list summary (every
+    // stage independently oracled; this pins the composition)
+    "pipe2_dedup_pipeline" -> ((s, dir) => {
+      val surv = Dedup.exactSurvivors(documents(s, dir))
+      val comp = Dedup.connectedComponents(
+        Dedup.minhashCandidateAnchors(surv), surv.select(col("doc_id")))
+      comp.agg(
+        count(lit(1)).as("n_surv"),
+        sum(when(col("doc_id") === col("component"), 1L).otherwise(0L)).as("n_kept"),
+        countDistinct(col("component")).as("n_components"))
+    }),
+
     "bp2_main_content_blocks" -> ((s, dir) => {
       import s.implicits._
       val input = documents(s, dir)
@@ -727,6 +772,35 @@ object SparkEntry {
     "q4_events_window" ->
       ("SELECT date_trunc('hour', ts) AS h, event_type, COUNT(*) AS n, " +
         "CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents FROM events GROUP BY 1, 2 ORDER BY 1, 2"),
+    "q6_rollup" ->
+      ("SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls, " +
+        "CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, COUNT(*) AS n " +
+        "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus) ORDER BY 1, 2"),
+    "q7_setops" ->
+      ("WITH a AS (SELECT doc_id FROM documents WHERE len(string_split(text, ' ')) > 40), " +
+        "b AS (SELECT doc_id FROM documents WHERE lang = 'en') " +
+        "SELECT 'except' AS op, doc_id FROM (SELECT doc_id FROM a EXCEPT SELECT doc_id FROM b) " +
+        "UNION ALL " +
+        "SELECT 'intersect' AS op, doc_id FROM (SELECT doc_id FROM a INTERSECT SELECT doc_id FROM b) " +
+        "ORDER BY 1, 2"),
+    "dd6_dedup_components" -> OracleSql.dd6ConnectedComponents,
+    "pipe2_dedup_pipeline" -> OracleSql.pipe2DedupPipeline,
+    // Gopher quality-gate replay: pure integer predicates over counts
+    "tx5_gopher_quality" ->
+      ("SELECT doc_id, " +
+        "CAST(CASE WHEN w >= 50 AND w <= 100000 THEN 1 ELSE 0 END AS INT) AS pass_len, " +
+        "CAST(CASE WHEN wc >= w*3 AND wc <= w*10 THEN 1 ELSE 0 END AS INT) AS pass_wordlen, " +
+        "CAST(CASE WHEN np*10 <= nc THEN 1 ELSE 0 END AS INT) AS pass_symbol, " +
+        "CAST(CASE WHEN sh >= 2 THEN 1 ELSE 0 END AS INT) AS pass_stop, " +
+        "CAST((CASE WHEN w >= 50 AND w <= 100000 THEN 1 ELSE 0 END) * " +
+        "(CASE WHEN wc >= w*3 AND wc <= w*10 THEN 1 ELSE 0 END) * " +
+        "(CASE WHEN np*10 <= nc THEN 1 ELSE 0 END) * " +
+        "(CASE WHEN sh >= 2 THEN 1 ELSE 0 END) AS INT) AS keep " +
+        "FROM (SELECT doc_id, len(string_split(text, ' ')) AS w, " +
+        "length(text) - len(string_split(text, ' ')) + 1 AS wc, length(text) AS nc, " +
+        "length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS np, " +
+        "len(list_filter(string_split(text, ' '), t -> t IN ('the','and','of','to','in','is','that','it','was','for'))) AS sh " +
+        "FROM documents) ORDER BY doc_id"),
 
     "dd1_exact_dedup" ->
       ("SELECT COUNT(*) AS n_unique, CAST(SUM(n_copies) AS BIGINT) AS n_docs, MIN(keep_id) AS min_keep, MAX(keep_id) AS max_keep FROM (" +

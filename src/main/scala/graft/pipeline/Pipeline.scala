@@ -129,6 +129,46 @@ object Dedup {
       .distinct()
   }
 
+  /** Dedup closure: connected components over candidate pairs by iterative
+    * min-label propagation — the step that turns anchor pairs (possibly
+    * chained across buckets) into one keep-decision per duplicate cluster.
+    * component(x) converges to the minimum doc_id reachable from x.
+    *
+    * Scale: each iteration is one shuffle-join of the label table with the
+    * undirected edge list plus one min-aggregate; iterations needed =
+    * label-propagation diameter of the candidate graph (near-dup clusters
+    * are star-shaped around their anchors by construction, so 2-4
+    * iterations in practice; `maxIter` bounds adversarial chains). All
+    * arithmetic is min over int64 — deterministic, externally replayable
+    * (recursive CTE). */
+  def connectedComponents(pairs: DataFrame, nodes: DataFrame, maxIter: Int = 20): DataFrame = {
+    // materialize the edge list once (localCheckpoint cuts the lineage so
+    // the sketch pipeline upstream is never recomputed per iteration)
+    val edges = pairs.select(col("id1").as("a"), col("id2").as("b"))
+      .union(pairs.select(col("id2").as("a"), col("id1").as("b")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = nodes.select(col("doc_id"), col("doc_id").as("component"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val prop = edges.join(labels, edges("b") === labels("doc_id"))
+        .groupBy(col("a")).agg(min(col("component")).as("nbr_min"))
+      // eager checkpoint = the iteration's only materialization; the label
+      // table is tiny relative to the corpus (2 longs/doc)
+      val next = labels.join(prop, labels("doc_id") === prop("a"), "left")
+        .select(labels("doc_id"),
+          least(col("component"), coalesce(col("nbr_min"), col("component"))).as("component"),
+          (col("nbr_min") < col("component")).as("__chg"))
+        .localCheckpoint(true)
+      converged = next.where(col("__chg")).isEmpty
+      labels = next.select(col("doc_id"), col("component"))
+      iter += 1
+    }
+    labels
+  }
+
   /** Exact n-gram (w-token shingle) Jaccard between consecutive doc_ids —
     * SQL-expressible (DuckDB-oracled) set-similarity: explode distinct
     * shingles, join on doc_id+1, count intersection/union.
@@ -361,6 +401,32 @@ object TextStats {
       col("doc_id"),
       size(split(col("text"), " ")).as("ws_tokens"),
       regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).as("bpe_ish_tokens"))
+
+  /** Gopher-style document-quality filter (Rae et al. 2021, public — the
+    * repetition/quality heuristics subset expressible as integer-exact
+    * predicates): token-count bounds, mean-word-length bounds, symbol
+    * ratio, and stopword presence. Every predicate is integer arithmetic
+    * over counts, so an external engine replays it exactly; single scan,
+    * no shuffle. */
+  def gopherQuality(docs: DataFrame,
+                    minTokens: Int = 50, maxTokens: Int = 100000,
+                    minMeanWordLen: Int = 3, maxMeanWordLen: Int = 10): DataFrame = {
+    val nTokens = size(split(col("text"), " "))
+    // single-space corpus: total word chars = chars - (tokens - 1)
+    val wordChars = length(col("text")) - nTokens + 1
+    val nPunct = length(col("text")) - length(regexp_replace(col("text"), "[.,;:!?]", ""))
+    val stopHits = size(filter(split(col("text"), " "),
+      t => t.isin("the", "and", "of", "to", "in", "is", "that", "it", "was", "for")))
+    docs.select(
+      col("doc_id"),
+      (nTokens >= minTokens && nTokens <= maxTokens).cast("int").as("pass_len"),
+      (wordChars >= nTokens * minMeanWordLen &&
+        wordChars <= nTokens * maxMeanWordLen).cast("int").as("pass_wordlen"),
+      (nPunct * 10 <= length(col("text"))).cast("int").as("pass_symbol"),
+      (stopHits >= 2).cast("int").as("pass_stop"))
+      .withColumn("keep",
+        (col("pass_len") * col("pass_wordlen") * col("pass_symbol") * col("pass_stop")).cast("int"))
+  }
 
   /** Heuristic language-ID vs the table's `lang` label (accuracy check is
     * in tests; here we emit predictions). */

@@ -249,6 +249,17 @@ class SparkSpec extends AnyFunSuite {
     assert(mhPairs.exists { case (a, b) => a == 0L && b >= 20000L && b < 30000L })
   }
 
+  test("dd6: connected components resolve chained candidate pairs to the min anchor") {
+    // 1-2-3-9 is a CHAIN (anchor pairs across different buckets) — min-label
+    // propagation must walk it over several iterations, not just one hop
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 9L), (5L, 6L)).toDF("id1", "id2")
+    val nodes = (1L to 9L).toDF("doc_id")
+    val comp = Dedup.connectedComponents(pairs, nodes)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L,
+      5L -> 5L, 6L -> 5L, 4L -> 4L, 7L -> 7L, 8L -> 8L))
+  }
+
   test("dd5: LSH-bucketed near-dup finds planted pair; exact path is the recall baseline") {
     val base = (0 until 30).map { i =>
       val v = (0 until 16).map(k =>
