@@ -190,12 +190,14 @@ object Bench {
     val effExec = if (pairsExec.nonEmpty) (bestE1 / bestE4) / 4.0 else 0.0
     val dpsE1 = if (pairsExec.nonEmpty) nDocs / bestE1 else 0.0
     val dpsE4 = if (pairsExec.nonEmpty) nDocs / bestE4 else 0.0
-    // ---- calibration: the engine alone (no Spark, no parquet decode) at
-    // 8 vs 32 raw threads over precomputed in-memory docs — isolates the
-    // compute-bound scaling from the I/O/decode share ----
-    def engineRun(nThreads: Int, docsArr: Array[graft.core.Doc], rounds2: Int): Double = {
+    // ---- calibration: the engine alone (no Spark, no parquet decode) over
+    // precomputed in-memory docs — isolates the compute-bound scaling from
+    // the I/O/decode share. Protocol matches the job pairs: EQUAL WALL TIME
+    // per side (work scales with the thread count — a 0.5s measurement on
+    // this host is pure scheduler noise, observed 0.36-1.54 "efficiency"),
+    // sizes interleaved within each round, best docs/sec per side. ----
+    def engineRun(nThreads: Int, docsArr: Array[graft.core.Doc], totalN: Long): Double = {
       val counter = new java.util.concurrent.atomic.AtomicLong(0)
-      val totalN = docsArr.length.toLong * rounds2
       val t0 = System.nanoTime()
       val ts = (0 until nThreads).map { _ =>
         new Thread(() => {
@@ -211,15 +213,18 @@ object Bench {
       totalN / ((System.nanoTime() - t0) / 1e9)
     }
     val calDocs = (0 until 20000).map(i => Corpus.makeDoc(i.toLong)).toArray
-    engineRun(32, calDocs, 2) // warmup
-    val engPairs = (1 to 2).map(_ => (engineRun(8, calDocs, 3), engineRun(32, calDocs, 3)))
-    val eng8 = engPairs.map(_._1).max
-    val eng32 = engPairs.map(_._2).max
-    val engEff = (eng32 / eng8) / 4.0
-    val engPairs4 = (1 to 2).map(_ => (engineRun(4, calDocs, 2), engineRun(16, calDocs, 3)))
-    val eng4 = engPairs4.map(_._1).max
-    val eng16 = engPairs4.map(_._2).max
+    val perThread = 60000L // ~3s per side at ~21k docs/s/thread
+    engineRun(32, calDocs, 32 * perThread / 4) // warmup
+    val engRounds = (1 to 3).map { _ =>
+      (engineRun(4, calDocs, 4 * perThread), engineRun(16, calDocs, 16 * perThread),
+        engineRun(8, calDocs, 8 * perThread), engineRun(32, calDocs, 32 * perThread))
+    }
+    val eng4 = engRounds.map(_._1).max
+    val eng16 = engRounds.map(_._2).max
+    val eng8 = engRounds.map(_._3).max
+    val eng32 = engRounds.map(_._4).max
     val engEff4 = (eng16 / eng4) / 4.0
+    val engEff = (eng32 / eng8) / 4.0
 
     val best8 = pairs.map(_._1).min
     val best32 = pairs.map(_._2).min

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan shape pins for the scale-critical queries: these fail if
+  * a refactor silently turns a broadcast join into a shuffle join, lets a
+  * self-join degrade to a cartesian product, or breaks column pruning into
+  * the parquet scan. Run over sf0.001 (plan shape, not data volume). */
+class PlanSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", 4)
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q2: the nation dim is broadcast, not shuffled") {
+    val p = plan("q2_join_broadcast")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("no scale query degrades to a cartesian / nested-loop join") {
+    // (dd6/pipe2 run their iterative loop at construction time and expose
+    // only the final checkpointed scan as a plan, so the join-bearing
+    // plans to pin are the sketch queries themselves)
+    for (q <- Seq("dd2_minhash_lsh", "dd3_simhash", "dd5_embedding_neardup",
+        "ann3_lsh_topk")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested-loop join")
+    }
+  }
+
+  test("scan-local text queries prune to the columns they read") {
+    // tx4 reads only doc_id+text; the parquet scan must not fetch the rest
+    val p = plan("tx4_fingerprint")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("doc_id") && read.contains("text"), read)
+    assert(!read.contains("lang") && !read.contains("source"), read)
+  }
+
+  test("top-k queries use per-partition TakeOrdered, not a global sort") {
+    for (q <- Seq("ann1_quantized_topk", "ann2_bruteforce_topk")) {
+      val p = plan(q)
+      assert(p.contains("TakeOrderedAndProject"), s"$q: ${p.take(800)}")
+    }
+  }
+
+  test("partial aggregation (map-side combine) on the big group-bys") {
+    val p = plan("q1_agg")
+    // two HashAggregate nodes = partial + final
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(1500))
+  }
+}
