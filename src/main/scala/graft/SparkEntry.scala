@@ -526,6 +526,9 @@ object SparkEntry {
     // Gopher-style quality gate (public-paper heuristics), integer-exact
     "tx5_gopher_quality" -> ((s, dir) =>
       TextStats.gopherQuality(documents(s, dir)).orderBy("doc_id")),
+    // duplicate-shingle repetition signal (Gopher family)
+    "tx6_repetition" -> ((s, dir) =>
+      TextStats.repetition(documents(s, dir)).orderBy("doc_id")),
     "tx3_token_counts" -> ((s, dir) => TextStats.tokenCounts(documents(s, dir)).orderBy("doc_id")),
     "tx4_fingerprint" -> ((s, dir) => TextStats.fingerprints(documents(s, dir)).orderBy("doc_id")),
 
@@ -784,6 +787,14 @@ object SparkEntry {
         "SELECT 'intersect' AS op, doc_id FROM (SELECT doc_id FROM a INTERSECT SELECT doc_id FROM b) " +
         "ORDER BY 1, 2"),
     "dd6_dedup_components" -> OracleSql.dd6ConnectedComponents,
+    // shingle construction matches dd4's oracle (w[i:i+2] over range)
+    "tx6_repetition" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents) " +
+        "SELECT doc_id, " +
+        "CAST(CASE WHEN len(w) >= 3 THEN len(w) - 2 ELSE 0 END AS INT) AS n_shingles, " +
+        "CAST(CASE WHEN len(w) >= 3 THEN len(list_distinct([array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)])) ELSE 0 END AS INT) AS n_distinct, " +
+        "CAST(CASE WHEN len(w) >= 3 THEN len(w) - 2 - len(list_distinct([array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)])) ELSE 0 END AS INT) AS n_dup " +
+        "FROM t ORDER BY doc_id"),
     "pipe2_dedup_pipeline" -> OracleSql.pipe2DedupPipeline,
     // Gopher quality-gate replay: pure integer predicates over counts
     "tx5_gopher_quality" ->

@@ -428,6 +428,20 @@ object TextStats {
         (col("pass_len") * col("pass_wordlen") * col("pass_symbol") * col("pass_stop")).cast("int"))
   }
 
+  /** Within-document repetition (the Gopher duplicate-n-gram signal):
+    * total vs distinct w-token shingles per doc — high duplicate fraction
+    * marks boilerplate/spam. Integer counts, scan-local, no shuffle. */
+  def repetition(docs: DataFrame, w: Int = 3): DataFrame = {
+    val t = split(col("text"), " ")
+    val shingles = expr(
+      s"transform(sequence(0, size(split(text, ' ')) - $w), i -> concat_ws(' ', slice(split(text, ' '), i + 1, $w)))")
+    docs.select(
+      col("doc_id"),
+      when(size(t) >= w, size(t) - w + 1).otherwise(0).cast("int").as("n_shingles"),
+      when(size(t) >= w, size(array_distinct(shingles))).otherwise(0).cast("int").as("n_distinct"))
+      .withColumn("n_dup", (col("n_shingles") - col("n_distinct")).cast("int"))
+  }
+
   /** Heuristic language-ID vs the table's `lang` label (accuracy check is
     * in tests; here we emit predictions). */
   def langId(docs: DataFrame): DataFrame =
