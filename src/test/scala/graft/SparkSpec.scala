@@ -312,6 +312,20 @@ class SparkSpec extends AnyFunSuite {
     assert(Hashing.langId("我是一个人这是我的家") == "zh")
   }
 
+  test("tx5/tx6: quality gate and repetition edge cases") {
+    val docs = Seq(
+      (1L, "a b"), // 2 tokens: zero shingles, fails the length gate
+      (3L, "x y z x y z x y z") // 9 tokens, 7 shingles, 3 distinct
+    ).toDF("doc_id", "text")
+    val g = TextStats.gopherQuality(docs).collect()
+      .map(r => r.getLong(0) -> r.getInt(5)).toMap
+    assert(g(1L) == 0)
+    val rep = TextStats.repetition(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3)))).toMap
+    assert(rep(1L) == ((0, 0, 0)))
+    assert(rep(3L) == ((7, 3, 4)))
+  }
+
   test("tx4: fingerprints equal iff text equal (on planted corpus)") {
     val fp = TextStats.fingerprints(plantedDocs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
