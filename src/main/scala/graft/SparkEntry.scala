@@ -477,6 +477,29 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // dd7: C4/CCNet-style line-level dedup. Every doc gets the same
+    // synthesized 8-token boilerplate header (2 lines at w=4) prepended —
+    // the shared site chrome real crawls carry — so only the first doc
+    // corpus-wide retains those lines; natural aligned-line collisions
+    // dedup too. The oracle replays line construction, first-occurrence
+    // ranking, and ordered reassembly.
+    "dd7_line_dedup" -> ((s, dir) =>
+      Dedup.lineDedup(documents(s, dir).select(col("doc_id"),
+        concat(lit("copyright acme corp inc all rights reserved "), col("text")).as("text")),
+        w = 4)
+        .orderBy("doc_id")),
+
+    // dd8: benchmark decontamination — docs with doc_id % 97 == 0 play the
+    // held-out eval set; every other doc sharing a 4-token shingle with it
+    // is flagged with its leaked-shingle count (broadcast semi-join shape).
+    "dd8_decontaminate" -> ((s, dir) => {
+      val d = documents(s, dir)
+      Dedup.decontaminate(
+        d.where(pmod(col("doc_id"), lit(97)) =!= 0),
+        d.where(pmod(col("doc_id"), lit(97)) === 0), w = 4)
+        .orderBy("doc_id")
+    }),
+
     // ---- similarity search ----
     "ann1_quantized_topk" -> ((s, dir) => {
       val q = firstEmbedding(s, dir)
@@ -531,6 +554,29 @@ object SparkEntry {
       TextStats.repetition(documents(s, dir)).orderBy("doc_id")),
     "tx3_token_counts" -> ((s, dir) => TextStats.tokenCounts(documents(s, dir)).orderBy("doc_id")),
     "tx4_fingerprint" -> ((s, dir) => TextStats.fingerprints(documents(s, dir)).orderBy("doc_id")),
+    // tx7: PII scrub over synthesized emails/phones (the raw corpus has
+    // none, so the redaction must actually fire for the oracle to match;
+    // doc_id % 3 / % 5 leave a mix of 0-2 PII hits per doc)
+    "tx7_pii_scrub" -> ((s, dir) =>
+      TextStats.piiScrub(documents(s, dir).select(col("doc_id"),
+        concat(col("text"),
+          when(pmod(col("doc_id"), lit(3)) < 2,
+            concat(lit(" contact agent"), col("doc_id").cast("string"),
+              lit("@example.com for info"))).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(5)) === 0,
+            concat(lit(" or call +1-555-"),
+              lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"))).otherwise(lit("")))
+          .as("text")))
+        .orderBy("doc_id")),
+    // q8: semi-structured JSON projection over the events `props` column
+    // (get_json_object stays inside whole-stage codegen; at scale this is
+    // a scan-local parse + one partial-agg shuffle on event_type)
+    "q8_props_json" -> ((s, dir) =>
+      events(s, dir).select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"), max(col("k")).as("max_k"))
+        .orderBy("event_type")),
 
     // ---- multimodal plumbing ----
     "mm1_media_meta" -> ((s, dir) =>
@@ -813,6 +859,41 @@ object SparkEntry {
         "len(list_filter(string_split(text, ' '), t -> t IN ('the','and','of','to','in','is','that','it','was','for'))) AS sh " +
         "FROM documents) ORDER BY doc_id"),
 
+    // line construction, first-occurrence rank, and ordered reassembly all
+    // replayed (boilerplate header prepended exactly as the Spark query)
+    "dd7_line_dedup" ->
+      ("WITH t AS (SELECT doc_id, string_split('copyright acme corp inc all rights reserved ' || text, ' ') AS tk FROM documents), " +
+        "l AS (SELECT doc_id, i AS line_idx, array_to_string(tk[i*4+1:i*4+4], ' ') AS line " +
+        "FROM t, unnest(generate_series(0, CAST(ceil(len(tk)/4.0) AS INT) - 1)) AS g(i)), " +
+        "m AS (SELECT doc_id, line_idx, line, row_number() OVER (PARTITION BY line ORDER BY doc_id, line_idx) AS rn FROM l) " +
+        "SELECT doc_id, CAST(count(*) AS INT) AS n_lines, " +
+        "CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS INT) AS n_kept, " +
+        "coalesce(string_agg(CASE WHEN rn = 1 THEN line END, ' ' ORDER BY line_idx), '') AS kept_text " +
+        "FROM m GROUP BY doc_id ORDER BY doc_id"),
+    "dd8_decontaminate" ->
+      ("WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
+        "sh AS (SELECT doc_id, unnest(list_distinct([array_to_string(t[i:i+3], ' ') FOR i IN range(1, len(t) - 2)])) AS s " +
+        "FROM tk WHERE len(t) >= 4), " +
+        "bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0) " +
+        "SELECT sh.doc_id, count(*) AS n_contaminated FROM sh JOIN bench USING (s) " +
+        "WHERE sh.doc_id % 97 != 0 GROUP BY 1 ORDER BY 1"),
+    // same portable regex subset evaluated by RE2 instead of java.util.regex
+    "tx7_pii_scrub" ->
+      ("WITH p AS (SELECT doc_id, text || " +
+        "CASE WHEN doc_id % 3 < 2 THEN ' contact agent' || CAST(doc_id AS VARCHAR) || '@example.com for info' ELSE '' END || " +
+        "CASE WHEN doc_id % 5 = 0 THEN ' or call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END AS t " +
+        "FROM documents) " +
+        "SELECT doc_id, " +
+        "CAST(len(regexp_extract_all(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}')) AS INT) AS n_emails, " +
+        "CAST(len(regexp_extract_all(t, '\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}')) AS INT) AS n_phones, " +
+        "regexp_replace(regexp_replace(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '<EMAIL>', 'g'), " +
+        "'\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS scrubbed " +
+        "FROM p ORDER BY doc_id"),
+    "q8_props_json" ->
+      ("SELECT event_type, count(*) AS n, " +
+        "CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k, " +
+        "CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k " +
+        "FROM events GROUP BY 1 ORDER BY 1"),
     "dd1_exact_dedup" ->
       ("SELECT COUNT(*) AS n_unique, CAST(SUM(n_copies) AS BIGINT) AS n_docs, MIN(keep_id) AS min_keep, MAX(keep_id) AS max_keep FROM (" +
         "SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies FROM documents GROUP BY text)"),

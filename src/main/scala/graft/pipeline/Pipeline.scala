@@ -192,6 +192,60 @@ object Dedup {
         (col("ca.n_sh") + col("cb.n_sh") - coalesce(col("inter"), lit(0L))).as("uni"))
   }
 
+  /** Line-level dedup (the C4 / CCNet pre-training cleanup step): split each
+    * doc into fixed-width token "lines", keep only the FIRST occurrence of
+    * every distinct line corpus-wide (first = lowest (doc_id, line_idx)),
+    * and reassemble each doc from its surviving lines in order. Shared
+    * boilerplate (headers, footers, navigation chrome) collapses to a
+    * single retained copy.
+    *
+    * Scale: line construction is scan-local; the only shuffle is the
+    * first-occurrence window partitioned by the line itself (Spark hashes
+    * the key for partitioning, so the shuffle key cost equals any
+    * hash-of-line scheme while keeping the oracle exactly replayable — no
+    * hash-collision caveat). Hot lines (the boilerplate being removed) are
+    * bounded per partition by the window sort, O(k log k) and spillable,
+    * never O(k^2). Reassembly is one hash-agg back on doc_id. */
+  def lineDedup(docs: DataFrame, w: Int = 4): DataFrame = {
+    val lines = docs.select(col("doc_id"),
+      posexplode_outer(expr(
+        s"transform(sequence(0, cast(ceil(size(split(text, ' ')) / cast($w as double)) as int) - 1), " +
+          s"i -> concat_ws(' ', slice(split(text, ' '), i * $w + 1, $w)))"))
+        .as(Seq("line_idx", "line")))
+      .where(col("line").isNotNull)
+    val wFirst = Window.partitionBy(col("line"))
+    val marked = lines
+      .withColumn("first", min(struct(col("doc_id"), col("line_idx"))).over(wFirst))
+      .withColumn("keep",
+        col("doc_id") === col("first.doc_id") && col("line_idx") === col("first.line_idx"))
+    marked.groupBy(col("doc_id")).agg(
+      count(lit(1)).cast("int").as("n_lines"),
+      sum(col("keep").cast("int")).cast("int").as("n_kept"),
+      array_join(transform(
+        array_sort(collect_list(when(col("keep"), struct(col("line_idx"), col("line"))))),
+        x => x.getField("line")), " ").as("kept_text"))
+  }
+
+  /** Benchmark decontamination (the standard eval-leak guard for training
+    * corpora): flag every corpus doc sharing at least one w-token shingle
+    * with a benchmark/eval set, with the count of distinct leaked shingles.
+    *
+    * Scale: eval benchmarks are tiny relative to a crawl corpus (MBs vs
+    * 100 TB), so the benchmark shingle set is broadcast — the corpus side
+    * is a scan-local shingle explode + broadcast hash join, NO shuffle of
+    * corpus data; only the matched rows (rare) reach the count aggregate. */
+  def decontaminate(docs: DataFrame, bench: DataFrame, w: Int = 4): DataFrame = {
+    def shingles(df: DataFrame): DataFrame = df
+      .where(size(split(col("text"), " ")) >= w) // sequence(0, neg) descends
+      .select(col("doc_id"),
+        explode(expr(s"array_distinct(transform(sequence(0, size(split(text, ' ')) - $w), " +
+          s"i -> concat_ws(' ', slice(split(text, ' '), i + 1, $w))))")).as("sh"))
+      .where(size(split(col("sh"), " ")) === w)
+    val bsh = shingles(bench).select(col("sh")).distinct()
+    shingles(docs).join(broadcast(bsh), "sh")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contaminated"))
+  }
+
   /** Embedding-cosine near-dup pairs via sign-LSH buckets: row-local bucket
     * id, self-join within bucket, exact cosine check on candidates only.
     * Scale: avoids the quadratic all-pairs join; bucket join shuffles one
@@ -441,6 +495,21 @@ object TextStats {
       when(size(t) >= w, size(array_distinct(shingles))).otherwise(0).cast("int").as("n_distinct"))
       .withColumn("n_dup", (col("n_shingles") - col("n_distinct")).cast("int"))
   }
+
+  /** PII scrubbing (RefinedWeb/FineWeb-style pre-training hygiene): count
+    * and redact email addresses and international phone numbers. The
+    * patterns stay in the portable regex subset (character classes, bounded
+    * repetition) shared by Java regex and RE2 so an external engine replays
+    * the redaction byte-for-byte. Scan-local projection, no shuffle. */
+  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val PhoneRe = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+  def piiScrub(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      regexp_count(col("text"), lit(EmailRe)).cast("int").as("n_emails"),
+      regexp_count(col("text"), lit(PhoneRe)).cast("int").as("n_phones"),
+      regexp_replace(regexp_replace(col("text"), lit(EmailRe), lit("<EMAIL>")),
+        lit(PhoneRe), lit("<PHONE>")).as("scrubbed"))
 
   /** Heuristic language-ID vs the table's `lang` label (accuracy check is
     * in tests; here we emit predictions). */

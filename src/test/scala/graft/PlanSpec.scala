@@ -53,6 +53,18 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("dd8: the benchmark shingle set is broadcast, corpus side not shuffled") {
+    val p = plan("dd8_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
+
+  test("dd7: one window shuffle + hash-agg reassembly, no joins") {
+    val p = plan("dd7_line_dedup")
+    assert(p.contains("Window"), p.take(2000))
+    assert(!p.contains("Join"), s"dd7 should not join: ${p.take(2000)}")
+  }
+
   test("partial aggregation (map-side combine) on the big group-bys") {
     val p = plan("q1_agg")
     // two HashAggregate nodes = partial + final

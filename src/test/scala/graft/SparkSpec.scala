@@ -312,6 +312,41 @@ class SparkSpec extends AnyFunSuite {
     assert(Hashing.langId("我是一个人这是我的家") == "zh")
   }
 
+  test("dd7: line dedup keeps first occurrence, reassembles in order") {
+    val docs = Seq(
+      (1L, "hdr one two three a b c d tail x"), // lines: [hdr one two three][a b c d][tail x]
+      (2L, "hdr one two three p q r s"),        // shares line 0 with doc 1
+      (3L, "a b c d hdr one two three")         // shares BOTH lines, reversed order
+    ).toDF("doc_id", "text")
+    val out = Dedup.lineDedup(docs, w = 4).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    assert(out(1L) == ((3, 3, "hdr one two three a b c d tail x")))
+    assert(out(2L) == ((2, 1, "p q r s")))
+    assert(out(3L) == ((2, 0, ""))) // both lines first seen in doc 1
+  }
+
+  test("dd8: decontamination flags only docs sharing a benchmark shingle") {
+    val corpus = Seq(
+      (10L, "alpha beta gamma delta epsilon"), // shares 4-gram with bench
+      (11L, "zeta eta theta iota kappa")       // clean
+    ).toDF("doc_id", "text")
+    val bench = Seq((1L, "x alpha beta gamma delta y")).toDF("doc_id", "text")
+    val out = Dedup.decontaminate(corpus, bench, w = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(10L -> 1L))
+  }
+
+  test("tx7: PII scrub redacts emails and phones, counts match") {
+    val docs = Seq(
+      (1L, "write to jane.doe+x@mail.example.org or +44-201-9999 today"),
+      (2L, "no pii here at all")
+    ).toDF("doc_id", "text")
+    val out = TextStats.piiScrub(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    assert(out(1L) == ((1, 1, "write to <EMAIL> or <PHONE> today")))
+    assert(out(2L) == ((0, 0, "no pii here at all")))
+  }
+
   test("tx5/tx6: quality gate and repetition edge cases") {
     val docs = Seq(
       (1L, "a b"), // 2 tokens: zero shingles, fails the length gate
