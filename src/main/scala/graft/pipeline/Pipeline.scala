@@ -32,9 +32,11 @@ object Dedup {
   /** Exact-dedup survivor ROWS (lowest doc_id per identical text), as a
     * pre-pass for the sketch dedups: real crawl corpora contain clusters of
     * MILLIONS of byte-identical docs, and any bucketing sketch would put
-    * the whole cluster in one bucket. One window-min over xxhash64(text)
-    * (single shuffle on the 8-byte hash, never on the text bytes; hash
-    * collisions are the standard 2^-64 trade-off, same as `exact`). */
+    * the whole cluster in one bucket. One window-min over xxhash64(text):
+    * the shuffle KEY is the 8-byte hash (cheap to partition/compare), but
+    * the shuffled ROWS carry the full text — unavoidable, since the
+    * surviving rows are the operator's output; hash collisions are the
+    * standard 2^-64 trade-off, same as `exact`. */
   def exactSurvivors(docs: DataFrame): DataFrame = {
     val w = Window.partitionBy(xxhash64(col("text")))
     docs.withColumn("__keep", min(col("doc_id")).over(w))
@@ -142,14 +144,25 @@ object Dedup {
     * arithmetic is min over int64 — deterministic, externally replayable
     * (recursive CTE). */
   def connectedComponents(pairs: DataFrame, nodes: DataFrame, maxIter: Int = 20): DataFrame = {
-    // materialize the edge list once (localCheckpoint cuts the lineage so
-    // the sketch pipeline upstream is never recomputed per iteration)
+    // RELIABLE checkpoints (not localCheckpoint): localCheckpoint stores
+    // blocks on executors AND truncates lineage, so one lost executor
+    // mid-loop makes the data unrecoverable — a real failure mode on a
+    // preemptible 1000-executor fleet. Reliable checkpoint() persists to
+    // the checkpoint dir (HDFS/object store at scale; configure it on the
+    // session) and the label table is tiny (2 longs/doc), so the per-
+    // iteration write is cheap relative to the join it anchors.
+    val spark = pairs.sparkSession
+    if (spark.sparkContext.getCheckpointDir.isEmpty)
+      spark.sparkContext.setCheckpointDir(
+        java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
+    // materialize the edge list once (checkpoint cuts the lineage so the
+    // sketch pipeline upstream is never recomputed per iteration)
     val edges = pairs.select(col("id1").as("a"), col("id2").as("b"))
       .union(pairs.select(col("id2").as("a"), col("id1").as("b")))
       .distinct()
-      .localCheckpoint(true)
+      .checkpoint(true)
     var labels = nodes.select(col("doc_id"), col("doc_id").as("component"))
-      .localCheckpoint(true)
+      .checkpoint(true)
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -161,11 +174,17 @@ object Dedup {
         .select(labels("doc_id"),
           least(col("component"), coalesce(col("nbr_min"), col("component"))).as("component"),
           (col("nbr_min") < col("component")).as("__chg"))
-        .localCheckpoint(true)
+        .checkpoint(true)
       converged = next.where(col("__chg")).isEmpty
       labels = next.select(col("doc_id"), col("component"))
       iter += 1
     }
+    // silent partial labels would poison downstream keep-decisions AND the
+    // external oracle (which computes the full closure) — fail loudly
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxIter iterations " +
+          "(candidate graph has label-propagation distance > maxIter); raise maxIter")
     labels
   }
 
@@ -205,7 +224,10 @@ object Dedup {
     * hash-of-line scheme while keeping the oracle exactly replayable — no
     * hash-collision caveat). Hot lines (the boilerplate being removed) are
     * bounded per partition by the window sort, O(k log k) and spillable,
-    * never O(k^2). Reassembly is one hash-agg back on doc_id. */
+    * never O(k^2). Reassembly is one hash-agg back on doc_id. Shuffle
+    * VOLUME is ~the corpus text bytes twice (lines out to the window,
+    * kept lines back to the doc agg) — inherent to C4 semantics, which
+    * need every line's first-occurrence decision and the line text back. */
   def lineDedup(docs: DataFrame, w: Int = 4): DataFrame = {
     val lines = docs.select(col("doc_id"),
       posexplode_outer(expr(

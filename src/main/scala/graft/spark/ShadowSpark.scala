@@ -82,7 +82,11 @@ object ShadowSpark {
     private var fastOk = true
     private var fastChecked = false
 
-    // generic accessor decode (allocates ~4 wrappers per span)
+    // generic accessor decode (allocates ~4 wrappers per span). Null policy
+    // (one bad row must not kill the job, same stance as the engine's
+    // Throwable row guard): a null span element or null kind contributes
+    // nothing; a media span with null ref/text gets empty strings; a text
+    // span with null text contributes no stream bytes.
     private def decodeGeneric(arr: org.apache.spark.sql.catalyst.util.ArrayData, n: Int,
                               buf0: Array[Byte],
                               mk: scala.collection.mutable.ArrayBuffer[graft.html.HtmlParser.MediaMarker])
@@ -91,18 +95,22 @@ object ShadowSpark {
       var bytePos = 0
       var i = 0
       while (i < n) {
-        val st = arr.getStruct(i, 4)
-        val kind = st.getUTF8String(0)
-        if (kind == kindMedia) {
-          mk += graft.html.HtmlParser.MediaMarker(
-            bytePos, st.getUTF8String(2).toString, st.getUTF8String(1).toString)
-        } else {
-          val u = st.getUTF8String(1)
-          val nb = u.numBytes()
-          if (bytePos + nb > b.length)
-            b = java.util.Arrays.copyOf(b, math.max(b.length * 2, bytePos + nb))
-          u.writeTo(java.nio.ByteBuffer.wrap(b, bytePos, nb))
-          bytePos += nb
+        if (!arr.isNullAt(i)) {
+          val st = arr.getStruct(i, 4)
+          val kind = if (st.isNullAt(0)) null else st.getUTF8String(0)
+          if (kind == kindMedia) {
+            mk += graft.html.HtmlParser.MediaMarker(
+              bytePos,
+              if (st.isNullAt(2)) "" else st.getUTF8String(2).toString,
+              if (st.isNullAt(1)) "" else st.getUTF8String(1).toString)
+          } else if (kind != null && !st.isNullAt(1)) {
+            val u = st.getUTF8String(1)
+            val nb = u.numBytes()
+            if (bytePos + nb > b.length)
+              b = java.util.Arrays.copyOf(b, math.max(b.length * 2, bytePos + nb))
+            u.writeTo(java.nio.ByteBuffer.wrap(b, bytePos, nb))
+            bytePos += nb
+          }
         }
         i += 1
       }

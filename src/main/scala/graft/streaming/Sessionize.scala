@@ -94,10 +94,16 @@ object Sessionize {
   /** Streaming sessionization that ALSO flushes trailing sessions: same
     * state machine as `streaming`, plus an event-time timeout at
     * last_event + gap — when the watermark passes it, the open session is
-    * emitted and its state removed, completing the streaming story (with
-    * `NoTimeout` a user's last session would sit in the state store until
-    * that user reappeared). State remains O(1) per ACTIVE user and is
-    * reclaimed on flush. */
+    * emitted, completing the streaming story (with `NoTimeout` a user's
+    * last session would sit in the state store until that user reappeared).
+    *
+    * Session identity: the flush keeps a counter TOMBSTONE (idx, n=0) in
+    * the state store instead of removing the entry, so `session_idx` stays
+    * monotonic per user across flushes and (user_id, session_idx) never
+    * collides — matching `batch` and the NoTimeout variant. The cost is
+    * explicit: state is ~4 longs per user EVER seen (not per active user);
+    * when that is unacceptable at scale, key session identity on
+    * (user_id, start_ts) and reclaim with state.remove() instead. */
   def streamingWithTimeout(events: Dataset[Event], gapMinutes: Int = 30,
                            watermarkDelay: String = "1 minute"): Dataset[Session] = {
     val spark = events.sparkSession
@@ -108,12 +114,15 @@ object Sessionize {
         : Iterator[Session] = {
       if (state.hasTimedOut) {
         val (idx, cur) = state.get
-        state.remove()
+        // counter tombstone: no open session (n=0), idx preserved; no new
+        // timeout is armed, so the entry sits inert until the user returns
+        state.update((idx, SessState(0L, 0L, 0L, 0L)))
         Iterator.single(Session(userId, idx, new Timestamp(cur.startMs),
           new Timestamp(cur.lastMs), cur.n, cur.cents))
       } else {
         val out = scala.collection.mutable.ArrayBuffer[Session]()
-        var (idx, cur) = state.getOption.getOrElse((0L, null: SessState))
+        var (idx, cur0) = state.getOption.getOrElse((0L, null: SessState))
+        var cur = if (cur0 != null && cur0.n == 0) null else cur0 // tombstone -> closed
         it.toSeq.sortBy(_.ts.getTime).foreach { e =>
           val t = e.ts.getTime
           val cents = math.round(e.value * 100)

@@ -93,6 +93,17 @@ class StreamingSpec extends AnyFunSuite {
       val rows = spark.table("graft_sess_to").collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("n_events"), r.getAs[Long]("value_cents")))
       assert(rows.toSet == Set((1L, 1L, 2L, 300L)), s"got ${rows.mkString(",")}")
+      // user 1 reappears AFTER the flush: the counter tombstone must keep
+      // session_idx monotonic — the new session is idx 2, never a second
+      // idx 1 (which would collide downstream on (user_id, session_idx))
+      mem.addData((1L, ts(2100), 4.0))
+      q.processAllAvailable()
+      mem.addData((2L, ts(4000), 6.0)) // advance watermark -> flush both
+      q.processAllAvailable()
+      val rows2 = spark.table("graft_sess_to").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("n_events"), r.getAs[Long]("value_cents")))
+      assert(rows2.toSet == Set((1L, 1L, 2L, 300L), (1L, 2L, 1L, 400L), (2L, 1L, 1L, 500L)),
+        s"got ${rows2.mkString(",")}")
     } finally q.stop()
   }
 
