@@ -579,15 +579,33 @@ object SparkEntry {
         .orderBy("event_type")),
 
     // ---- multimodal plumbing ----
+    // mm1: synth REAL containers (png/gif/jpeg by doc_id % 3, payload =
+    // text bytes) -> parse the actual header bytes back (MediaCodec); the
+    // oracle replays the synthesis formulas, so a byte-order or layout bug
+    // in either the builder or the parser breaks the round-trip and
+    // hash-mismatches
     "mm1_media_meta" -> ((s, dir) =>
       Multimodal.metaForOracle(Multimodal.mediaTable(documents(s, dir))).orderBy("doc_id")),
-    "mm2_pdf_layout_route" -> ((s, dir) =>
-      Multimodal.routeAndParse(
-        documents(s, dir).select(col("doc_id"),
-          concat(lit("media://"), col("doc_id"),
-            when(pmod(col("doc_id"), lit(3)) === 0, lit(".pdf")).otherwise(lit(".jpg"))).as("media_ref"),
-          encode(col("text"), "UTF-8").as("content")))
-        .orderBy("doc_id")),
+    // mm2: media-branch routing on container magic — PDFs (doc_id % 3 = 0,
+    // real page-tree /Count = 1 + n % 5) to the layout branch, JPEGs to the
+    // image dimension parse
+    "mm2_pdf_layout_route" -> ((s, dir) => {
+      import s.implicits._
+      val media = documents(s, dir).select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions { it =>
+          it.map { case (id, text) =>
+            val payload = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            val n = payload.length
+            if (id % 3 == 0)
+              graft.pipeline.Multimodal.MediaRow(id, s"media://$id.pdf",
+                graft.pipeline.MediaCodec.buildPdf(1 + n % 5, payload))
+            else
+              graft.pipeline.Multimodal.MediaRow(id, s"media://$id.jpg",
+                graft.pipeline.MediaCodec.buildJpeg(16 + n % 64, 16 + n % 48, payload))
+          }
+        }.toDF()
+      Multimodal.routeAndParse(media).orderBy("doc_id")
+    }),
 
     // ---- boilerplate main-content extraction (north-star branch) ----
     "bp1_main_content" -> ((s, dir) => {
@@ -1038,12 +1056,22 @@ object SparkEntry {
         "CAST(CASE WHEN doc_id % 3 = 0 THEN 0 ELSE 16 + octet_length(encode(text)) % 64 END AS INT) AS width, " +
         "CAST(CASE WHEN doc_id % 3 = 0 THEN 0 ELSE 16 + octet_length(encode(text)) % 48 END AS INT) AS height " +
         "FROM documents ORDER BY 1"),
+    // real-container replay: format/dims from the synthesis formulas, and
+    // n_bytes = payload + the EXACT container overhead (PNG sig+IHDR+IDAT+
+    // IEND framing; GIF header/LSD + comment sub-block length bytes; JPEG
+    // SOI/APP0/SOF0 + 4 bytes per <=65533-byte COM segment) — see
+    // MediaCodec.pngBytes/gifBytes/jpegBytes
     "mm1_media_meta" ->
-      ("SELECT doc_id, 'media://' || CAST(doc_id AS VARCHAR) AS media_ref, " +
-        "CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, " +
-        "CAST(16 + octet_length(encode(text)) % 64 AS INT) AS width, " +
-        "CAST(16 + octet_length(encode(text)) % 48 AS INT) AS height, " +
-        "CAST(1 + octet_length(encode(text)) % 7 AS INT) AS n_frames " +
-        "FROM documents ORDER BY 1")
+      ("WITH m AS (SELECT doc_id, CAST(doc_id % 3 AS INT) AS f, " +
+        "CAST(octet_length(encode(text)) AS BIGINT) AS n FROM documents) " +
+        "SELECT doc_id, 'media://' || CAST(doc_id AS VARCHAR) || '.' || " +
+        "CASE f WHEN 0 THEN 'png' WHEN 1 THEN 'gif' ELSE 'jpeg' END AS media_ref, " +
+        "CASE f WHEN 0 THEN 'png' WHEN 1 THEN 'gif' ELSE 'jpeg' END AS format, " +
+        "CAST(CASE f WHEN 0 THEN 57 + n " +
+        "WHEN 1 THEN 17 + n + (n + 254) // 255 " +
+        "ELSE 35 + n + 4 * ((n + 65532) // 65533) END AS BIGINT) AS n_bytes, " +
+        "CAST(16 + n % 64 AS INT) AS width, " +
+        "CAST(16 + n % 48 AS INT) AS height " +
+        "FROM m ORDER BY 1")
   )
 }

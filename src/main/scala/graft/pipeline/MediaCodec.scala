@@ -1,0 +1,260 @@
+package graft.pipeline
+
+import java.io.ByteArrayOutputStream
+import java.nio.charset.StandardCharsets.{US_ASCII, UTF_8}
+import java.util.zip.CRC32
+
+/** Pure-JVM media HEADER codecs — real byte-layout parsing from the public
+  * format specs (no media libraries exist in this sandbox, and none are
+  * needed for header-level metadata):
+  *
+  *  - PNG: 8-byte signature + IHDR chunk (width/height as big-endian u32 at
+  *    offsets 16/20), CRC32 of the IHDR chunk verified (ISO/IEC 15948 §5).
+  *  - GIF: "GIF87a"/"GIF89a" + logical screen descriptor (width/height as
+  *    little-endian u16 at offsets 6/8) (GIF89a spec §18).
+  *  - JPEG: marker-segment walk from SOI to the first SOFn (C0-CF minus
+  *    C4/C8/CC), height/width as big-endian u16 at SOF payload offsets 3/5
+  *    (ITU T.81 §B.2.2); segments are skipped by their length field, so
+  *    payload bytes that LOOK like markers can't fool the walk.
+  *  - PDF: page count read from the page-tree root's `/Count` entry
+  *    (the `/Type /Pages` node, ISO 32000-1 §7.7.3.2) — header-level
+  *    layout parse; full text/layout extraction would need a real PDF
+  *    library and stays out of scope.
+  *
+  * The builders synthesize byte-faithful files with an opaque payload
+  * (PNG IDAT body / GIF comment extension / JPEG COM segments / PDF stream
+  * object), so synth -> parse round-trips dims/page-counts through the real
+  * byte layout, and container overhead is exact arithmetic an external SQL
+  * oracle can replay.
+  */
+object MediaCodec {
+
+  /** Header-level metadata: width/height for raster images (0 for PDF),
+    * nPages for PDF (0 for images). */
+  final case class MediaInfo(format: String, width: Int, height: Int, nPages: Int)
+
+  // ------------------------------------------------------------- helpers
+
+  private def be32(out: ByteArrayOutputStream, v: Long): Unit = {
+    out.write(((v >>> 24) & 0xff).toInt); out.write(((v >>> 16) & 0xff).toInt)
+    out.write(((v >>> 8) & 0xff).toInt); out.write((v & 0xff).toInt)
+  }
+  private def rdBe32(b: Array[Byte], i: Int): Long =
+    ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+      ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+  private def rdBe16(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+  private def rdLe16(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+
+  // ------------------------------------------------------------- builders
+
+  private val PngSig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  /** Container overhead in bytes over the payload, per format — the exact
+    * arithmetic the external oracle replays (kept next to the builders so
+    * they cannot drift). PNG: 8 sig + 25 IHDR + (12 + n) IDAT + 12 IEND.
+    * GIF: 13 header/LSD + 2 comment intro + ceil(n/255) sub-block length
+    * bytes + 1 terminator + 1 trailer. JPEG: 2 SOI + 18 APP0 + 13 SOF0 +
+    * 4 per COM segment (ceil(n/65533)) + 2 EOI. */
+  def pngBytes(n: Long): Long = 57 + n
+  def gifBytes(n: Long): Long = 17 + n + (n + 254) / 255
+  def jpegBytes(n: Long): Long = 35 + n + 4 * ((n + 65532) / 65533)
+
+  /** Truecolor 8-bit PNG with `payload` as the (opaque) IDAT body. */
+  def buildPng(w: Int, h: Int, payload: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(payload.length + 64)
+    out.write(PngSig, 0, 8)
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      be32(out, data.length.toLong)
+      val tb = typ.getBytes(US_ASCII)
+      out.write(tb, 0, 4)
+      out.write(data, 0, data.length)
+      val crc = new CRC32
+      crc.update(tb); crc.update(data)
+      be32(out, crc.getValue)
+    }
+    val ihdr = new Array[Byte](13)
+    ihdr(0) = (w >>> 24).toByte; ihdr(1) = (w >>> 16).toByte
+    ihdr(2) = (w >>> 8).toByte; ihdr(3) = w.toByte
+    ihdr(4) = (h >>> 24).toByte; ihdr(5) = (h >>> 16).toByte
+    ihdr(6) = (h >>> 8).toByte; ihdr(7) = h.toByte
+    ihdr(8) = 8; ihdr(9) = 2 // bit depth 8, truecolor
+    chunk("IHDR", ihdr)
+    chunk("IDAT", payload)
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** GIF89a with `payload` carried in a comment extension (255-byte
+    * sub-blocks), no global color table. */
+  def buildGif(w: Int, h: Int, payload: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(payload.length + 32)
+    out.write("GIF89a".getBytes(US_ASCII), 0, 6)
+    out.write(w & 0xff); out.write((w >>> 8) & 0xff)
+    out.write(h & 0xff); out.write((h >>> 8) & 0xff)
+    out.write(0); out.write(0); out.write(0) // no GCT, bg 0, aspect 0
+    out.write(0x21); out.write(0xfe) // comment extension
+    var i = 0
+    while (i < payload.length) {
+      val k = math.min(255, payload.length - i)
+      out.write(k)
+      out.write(payload, i, k)
+      i += k
+    }
+    out.write(0) // sub-block terminator
+    out.write(0x3b) // trailer
+    out.toByteArray
+  }
+
+  /** Baseline JFIF JPEG: SOI, APP0, SOF0 (1 component), `payload` split
+    * into <=65533-byte COM segments, EOI. */
+  def buildJpeg(w: Int, h: Int, payload: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(payload.length + 48)
+    out.write(0xff); out.write(0xd8) // SOI
+    out.write(0xff); out.write(0xe0) // APP0
+    out.write(0x00); out.write(0x10) // len 16
+    out.write("JFIF".getBytes(US_ASCII), 0, 4); out.write(0)
+    out.write(1); out.write(1) // version 1.1
+    out.write(0) // units
+    out.write(0); out.write(1); out.write(0); out.write(1) // density 1x1
+    out.write(0); out.write(0) // no thumbnail
+    out.write(0xff); out.write(0xc0) // SOF0
+    out.write(0x00); out.write(0x0b) // len 11
+    out.write(8) // precision
+    out.write((h >>> 8) & 0xff); out.write(h & 0xff)
+    out.write((w >>> 8) & 0xff); out.write(w & 0xff)
+    out.write(1) // 1 component
+    out.write(1); out.write(0x11); out.write(0) // id, 1x1 sampling, qtable 0
+    var i = 0
+    while (i < payload.length) {
+      val k = math.min(65533, payload.length - i)
+      out.write(0xff); out.write(0xfe) // COM
+      out.write(((k + 2) >>> 8) & 0xff); out.write((k + 2) & 0xff)
+      out.write(payload, i, k)
+      i += k
+    }
+    out.write(0xff); out.write(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** Minimal well-formed PDF: catalog, page-tree root with /Count, one
+    * empty page object per page, payload as a stream object. */
+  def buildPdf(nPages: Int, payload: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(payload.length + 128)
+    def s(x: String): Unit = { val b = x.getBytes(US_ASCII); out.write(b, 0, b.length) }
+    s("%PDF-1.4\n")
+    s("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    val kids = (0 until nPages).map(p => s"${3 + p} 0 R").mkString(" ")
+    s(s"2 0 obj << /Type /Pages /Count $nPages /Kids [$kids] >> endobj\n")
+    for (p <- 0 until nPages)
+      s(s"${3 + p} 0 obj << /Type /Page /Parent 2 0 R >> endobj\n")
+    s(s"${3 + nPages} 0 obj << /Length ${payload.length} >> stream\n")
+    out.write(payload, 0, payload.length)
+    s("\nendstream endobj\n%%EOF\n")
+    out.toByteArray
+  }
+
+  // -------------------------------------------------------------- parsers
+
+  /** Sniff the magic and parse header metadata; None when the bytes are
+    * not a recognized/well-formed container (callers map that to an
+    * "unknown" row — one bad payload must not kill the job). */
+  def parse(b: Array[Byte]): Option[MediaInfo] = {
+    if (b.length >= 8 && java.util.Arrays.equals(
+        java.util.Arrays.copyOf(b, 8), PngSig)) parsePng(b)
+    else if (b.length >= 6 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
+      b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a') parseGif(b)
+    else if (b.length >= 3 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8 &&
+      (b(2) & 0xff) == 0xff) parseJpeg(b)
+    else if (b.length >= 5 && b(0) == '%' && b(1) == 'P' && b(2) == 'D' &&
+      b(3) == 'F' && b(4) == '-') parsePdf(b)
+    else None
+  }
+
+  private def parsePng(b: Array[Byte]): Option[MediaInfo] = {
+    // sig(8) len(4) "IHDR"(4) data(13) crc(4) -> need 33 bytes
+    if (b.length < 33) return None
+    if (rdBe32(b, 8) != 13L) return None
+    if (!(b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R')) return None
+    val crc = new CRC32
+    crc.update(b, 12, 4 + 13)
+    if (crc.getValue != rdBe32(b, 29)) return None // corrupt header
+    val w = rdBe32(b, 16); val h = rdBe32(b, 20)
+    if (w <= 0 || h <= 0 || w > Int.MaxValue || h > Int.MaxValue) return None
+    Some(MediaInfo("png", w.toInt, h.toInt, 0))
+  }
+
+  private def parseGif(b: Array[Byte]): Option[MediaInfo] = {
+    if (b.length < 10) return None
+    Some(MediaInfo("gif", rdLe16(b, 6), rdLe16(b, 8), 0))
+  }
+
+  private def parseJpeg(b: Array[Byte]): Option[MediaInfo] = {
+    var i = 2
+    while (i + 3 < b.length) {
+      if ((b(i) & 0xff) != 0xff) return None // lost marker alignment
+      while (i < b.length && (b(i) & 0xff) == 0xff) i += 1 // fill bytes
+      if (i >= b.length) return None
+      val m = b(i) & 0xff
+      i += 1
+      if (m == 0xd9 || m == 0xda) return None // EOI/SOS before any SOF
+      if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) {
+        // standalone marker, no length
+      } else {
+        if (i + 1 >= b.length) return None
+        val len = rdBe16(b, i)
+        if (len < 2 || i + len > b.length) return None
+        val isSof = m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc
+        if (isSof) {
+          if (len < 7) return None
+          return Some(MediaInfo("jpeg", rdBe16(b, i + 5), rdBe16(b, i + 3), 0))
+        }
+        i += len
+      }
+    }
+    None
+  }
+
+  private def parsePdf(b: Array[Byte]): Option[MediaInfo] = {
+    // locate the page-tree root dict and read its /Count value
+    val root = indexOfAscii(b, "/Type /Pages")
+    if (root < 0) return None
+    val c = indexOfAscii(b, "/Count ", root)
+    if (c < 0) return None
+    var i = c + 7
+    var v = 0
+    var any = false
+    while (i < b.length && b(i) >= '0' && b(i) <= '9') {
+      v = v * 10 + (b(i) - '0'); any = true; i += 1
+    }
+    if (!any) None else Some(MediaInfo("pdf", 0, 0, v))
+  }
+
+  private def indexOfAscii(b: Array[Byte], needle: String, from: Int = 0): Int = {
+    val nb = needle.getBytes(US_ASCII)
+    var i = math.max(0, from)
+    val last = b.length - nb.length
+    while (i <= last) {
+      var j = 0
+      while (j < nb.length && b(i + j) == nb(j)) j += 1
+      if (j == nb.length) return i
+      i += 1
+    }
+    -1
+  }
+
+  /** Deterministic synthesis for a doc: format by doc_id % 3 (png/gif/
+    * jpeg), dims from the payload length — the formulas the mm1 oracle
+    * replays. The payload is the doc's UTF-8 text bytes. */
+  def synthImage(docId: Long, payload: Array[Byte]): (String, Array[Byte]) = {
+    val n = payload.length
+    val w = 16 + n % 64
+    val h = 16 + n % 48
+    (docId % 3) match {
+      case 0 => ("png", buildPng(w, h, payload))
+      case 1 => ("gif", buildGif(w, h, payload))
+      case _ => ("jpeg", buildJpeg(w, h, payload))
+    }
+  }
+}

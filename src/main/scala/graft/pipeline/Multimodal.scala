@@ -1,15 +1,19 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Multimodal (media) column plumbing: images/audio/video ride as opaque
-  * `binary` columns with typed metadata. The DECODE step is a clearly
-  * marked deterministic STUB (no image/audio libs in this container); the
-  * Spark-side plumbing — schema, batched per-partition decode, metadata
-  * struct shape — is real and tested, so a real decoder (e.g. mapInPandas
-  * with PIL on a Python cluster, or a JNI decoder here) drops in at
-  * `MediaDecodeStub.decode`.
+import java.nio.charset.StandardCharsets.UTF_8
+
+/** Multimodal (media) column plumbing: images/PDFs ride as opaque `binary`
+  * columns with typed metadata. The header decode is REAL byte-layout
+  * parsing (graft.pipeline.MediaCodec: PNG IHDR with CRC check, GIF
+  * logical screen descriptor, JPEG SOFn marker walk, PDF page-tree
+  * /Count) — no media libraries needed for header-level metadata. What
+  * remains a labeled STUB is deep decode (pixel data, PDF text/layout
+  * extraction) and the 8-dim feature vector: those need real
+  * codec/layout libraries absent from this sandbox, and drop in at
+  * `decodeAll` / `routeAndParse` with the same schema and batching.
   */
 object Multimodal {
 
@@ -17,76 +21,90 @@ object Multimodal {
   final case class MediaMeta(
       doc_id: Long,
       media_ref: String,
+      format: String,
       n_bytes: Long,
       width: Int,
       height: Int,
-      n_frames: Int,
       feature: Array[Float])
 
-  /** STUB decoder: deterministic pseudo-metadata + an 8-dim "feature"
-    * derived from content bytes. Replace with a real decoder at the same
-    * signature; everything downstream (schema, batching) is unchanged. */
-  object MediaDecodeStub {
-    def decode(r: MediaRow): MediaMeta = {
-      val n = r.content.length
-      var h = 0xcbf29ce484222325L
-      var i = 0
-      while (i < n) { h = h * 1099511628211L + (r.content(i) & 0xff); i += 1 }
-      val feat = new Array[Float](8)
-      var j = 0
-      while (j < 8) {
-        feat(j) = ((graft.functions.Hashing.splitmix64(h ^ j) >>> 40).toInt / 16777216.0f)
-        j += 1
-      }
-      MediaMeta(r.doc_id, r.media_ref, n.toLong,
-        width = 16 + (n % 64), height = 16 + (n % 48),
-        n_frames = 1 + (n % 7), feature = feat)
+  /** STUB feature extractor: deterministic 8-dim "embedding" from content
+    * bytes (a real extractor — CLIP-style vision encoder etc. — drops in
+    * here; everything downstream only sees Array[Float]). */
+  private[pipeline] def featureStub(content: Array[Byte]): Array[Float] = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < content.length) { h = h * 1099511628211L + (content(i) & 0xff); i += 1 }
+    val feat = new Array[Float](8)
+    var j = 0
+    while (j < 8) {
+      feat(j) = ((graft.functions.Hashing.splitmix64(h ^ j) >>> 40).toInt / 16777216.0f)
+      j += 1
     }
+    feat
   }
 
-  /** Synthesize a media table from `documents` (UTF-8 bytes of text as the
-    * opaque payload) — deterministic, SQL-predictable byte lengths. */
-  def mediaTable(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
-      concat(lit("media://"), col("doc_id")).as("media_ref"),
-      encode(col("text"), "UTF-8").as("content"))
+  /** Synthesize a media table from `documents`: each doc's UTF-8 text
+    * bytes become the payload of a REAL container (png/gif/jpeg by
+    * doc_id % 3, dims = (16 + n % 64, 16 + n % 48)) so the decode step
+    * round-trips through the actual byte layout. Deterministic, and the
+    * container overhead is exact arithmetic (MediaCodec.pngBytes etc.)
+    * so the oracle replays n_bytes too. */
+  def mediaTable(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)].mapPartitions { it =>
+      it.map { case (id, text) =>
+        val (fmt, content) = MediaCodec.synthImage(id, text.getBytes(UTF_8))
+        MediaRow(id, s"media://$id.$fmt", content)
+      }
+    }.toDF()
+  }
 
-  /** Batched per-partition decode (one decoder instance per task; rows
-    * stream through — the Spark analogue of mapInPandas batches). */
+  /** Batched per-partition header decode (one task-local pass; rows
+    * stream through — the Spark analogue of mapInPandas batches).
+    * Unparseable payloads yield format "unknown" with zero dims rather
+    * than failing the task. */
   def decodeAll(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     media.as[MediaRow].mapPartitions { it =>
-      it.map(MediaDecodeStub.decode)
+      it.map { r =>
+        val info = MediaCodec.parse(r.content)
+          .getOrElse(MediaCodec.MediaInfo("unknown", 0, 0, 0))
+        MediaMeta(r.doc_id, r.media_ref, info.format, r.content.length.toLong,
+          info.width, info.height, featureStub(r.content))
+      }
     }.toDF()
   }
 
   /** Metadata projection used by the oracle check (integer-valued). */
   def metaForOracle(media: DataFrame): DataFrame =
-    decodeAll(media).select(col("doc_id"), col("media_ref"),
-      col("n_bytes"), col("width"), col("height"), col("n_frames"))
+    decodeAll(media).select(col("doc_id"), col("media_ref"), col("format"),
+      col("n_bytes"), col("width"), col("height"))
 
   final case class RoutedMeta(
       doc_id: Long, media_ref: String, branch: String,
       n_pages: Int, width: Int, height: Int)
 
-  /** Media-branch routing on media_ref (the north-rule "PDF/layout branch"):
-    * *.pdf payloads go to the layout-parse stub (page count), images to the
-    * dimension stub, anything else passes through untouched. The routing,
-    * schema and batching are real; the parsers are deterministic STUBS
-    * (no PDF/image libs in this sandbox). */
+  /** Media-branch routing (the north-rule "PDF/layout branch"): the
+    * container magic decides the branch — PDFs go to the layout parse
+    * (page count from the page tree), raster images to the dimension
+    * parse, anything unrecognized passes through untouched. All header
+    * parsing is real (MediaCodec); only deep layout/pixel decode remains
+    * a stub seam. */
   def routeAndParse(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     media.as[MediaRow].mapPartitions { it =>
       it.map { r =>
-        val n = r.content.length
-        if (r.media_ref.endsWith(".pdf"))
-          RoutedMeta(r.doc_id, r.media_ref, "pdf_layout", 1 + n % 5, 0, 0)
-        else if (r.media_ref.endsWith(".jpg") || r.media_ref.endsWith(".png"))
-          RoutedMeta(r.doc_id, r.media_ref, "image", 0, 16 + n % 64, 16 + n % 48)
-        else
-          RoutedMeta(r.doc_id, r.media_ref, "passthrough", 0, 0, 0)
+        MediaCodec.parse(r.content) match {
+          case Some(MediaCodec.MediaInfo("pdf", _, _, pages)) =>
+            RoutedMeta(r.doc_id, r.media_ref, "pdf_layout", pages, 0, 0)
+          case Some(info) =>
+            RoutedMeta(r.doc_id, r.media_ref, "image", 0, info.width, info.height)
+          case None =>
+            RoutedMeta(r.doc_id, r.media_ref, "passthrough", 0, 0, 0)
+        }
       }
     }.toDF()
   }

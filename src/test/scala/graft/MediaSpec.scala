@@ -1,0 +1,111 @@
+package graft
+
+import graft.pipeline.MediaCodec
+import graft.pipeline.MediaCodec.MediaInfo
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.charset.StandardCharsets.{US_ASCII, UTF_8}
+
+/** MediaCodec parses REAL byte layouts; these fixtures are hand-assembled
+  * from the public specs (PNG ISO/IEC 15948, GIF89a, ITU T.81 JPEG,
+  * ISO 32000-1 PDF) independently of the builders, so a builder/parser
+  * pairing bug can't self-validate. */
+class MediaSpec extends AnyFunSuite {
+
+  // ---- hand-built fixtures (independent of the builders) ----
+
+  test("PNG: hand-assembled IHDR for 260x190 parses; CRC is verified") {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte), 0, 8)
+    // IHDR: length 13, then type+data, then CRC32(type+data)
+    out.write(Array[Byte](0, 0, 0, 13), 0, 4)
+    val typeAndData = Array[Byte](
+      'I', 'H', 'D', 'R',
+      0, 0, 1, 4, // width 260 big-endian
+      0, 0, 0, 190.toByte, // height 190 big-endian
+      8, 6, 0, 0, 0) // 8-bit RGBA
+    out.write(typeAndData, 0, typeAndData.length)
+    val crc = new java.util.zip.CRC32
+    crc.update(typeAndData)
+    val c = crc.getValue
+    out.write(Array((c >>> 24).toByte, (c >>> 16).toByte, (c >>> 8).toByte, c.toByte), 0, 4)
+    val b = out.toByteArray
+    assert(MediaCodec.parse(b).contains(MediaInfo("png", 260, 190, 0)))
+    // flip one IHDR data byte -> CRC mismatch -> rejected, not garbage dims
+    val bad = b.clone(); bad(18) = 9
+    assert(MediaCodec.parse(bad).isEmpty)
+  }
+
+  test("GIF: hand-assembled logical screen descriptor, little-endian dims") {
+    // width 300 = 0x012C -> 2C 01, height 70 = 0x46 00
+    val b = ("GIF89a".getBytes(US_ASCII) ++ Array[Byte](
+      0x2c, 0x01, 0x46, 0x00, 0, 0, 0, 0x3b)).map(_.toByte)
+    assert(MediaCodec.parse(b).contains(MediaInfo("gif", 300, 70, 0)))
+    assert(MediaCodec.parse("GIF85a12345678".getBytes(US_ASCII)).isEmpty)
+  }
+
+  test("JPEG: SOF0 found by segment walk; COM payload can't fake a marker") {
+    def seg(marker: Int, payload: Array[Byte]): Array[Byte] =
+      Array(0xff.toByte, marker.toByte,
+        ((payload.length + 2) >>> 8).toByte, ((payload.length + 2) & 0xff).toByte) ++ payload
+    // COM contains bytes that LOOK like an SOF0 marker with absurd dims —
+    // a length-respecting walk must skip it and read the real SOF0
+    val fakeSof = Array[Byte](0xff.toByte, 0xc0.toByte, 0, 11, 8, 0x7f, 0x7f, 0x7f, 0x7f, 1, 1, 0x11, 0)
+    val realSof0 = Array[Byte](8, 0, 90, 1, 0x2c) ++ Array[Byte](1, 1, 0x11, 0) // h=90 w=300
+    val b = Array(0xff.toByte, 0xd8.toByte) ++ seg(0xfe, fakeSof) ++
+      seg(0xc0, realSof0) ++ Array(0xff.toByte, 0xd9.toByte)
+    assert(MediaCodec.parse(b).contains(MediaInfo("jpeg", 300, 90, 0)))
+    // progressive SOF2 is an SOF too
+    val b2 = Array(0xff.toByte, 0xd8.toByte) ++ seg(0xc2, realSof0) ++
+      Array(0xff.toByte, 0xd9.toByte)
+    assert(MediaCodec.parse(b2).contains(MediaInfo("jpeg", 300, 90, 0)))
+    // DHT (C4) is NOT an SOF: walk must pass over it
+    val b3 = Array(0xff.toByte, 0xd8.toByte) ++ seg(0xc4, Array[Byte](0, 1, 2)) ++
+      seg(0xc0, realSof0) ++ Array(0xff.toByte, 0xd9.toByte)
+    assert(MediaCodec.parse(b3).contains(MediaInfo("jpeg", 300, 90, 0)))
+    // truncated mid-segment -> None, never an out-of-bounds read
+    assert(MediaCodec.parse(b.take(9)).isEmpty)
+  }
+
+  test("PDF: page count comes from the page-tree /Count") {
+    val pdf = ("%PDF-1.7\n1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n" +
+      "2 0 obj << /Type /Pages /Count 12 /Kids [] >> endobj\n%%EOF\n").getBytes(US_ASCII)
+    assert(MediaCodec.parse(pdf).contains(MediaInfo("pdf", 0, 0, 12)))
+    assert(MediaCodec.parse("%PDF-1.7\nno pages here".getBytes(US_ASCII)).isEmpty)
+  }
+
+  // ---- builder -> parser round-trips across payload boundaries ----
+
+  test("synth -> parse round-trips dims through the real byte layout") {
+    val sizes = Seq(0, 1, 254, 255, 256, 1000, 65533, 65534, 70000)
+    for (n <- sizes) {
+      val payload = Array.tabulate(n)(i => (i * 31 + 7).toByte)
+      val w = 16 + n % 64; val h = 16 + n % 48
+      val png = MediaCodec.buildPng(w, h, payload)
+      assert(png.length.toLong == MediaCodec.pngBytes(n.toLong), s"png n=$n")
+      assert(MediaCodec.parse(png).contains(MediaInfo("png", w, h, 0)), s"png n=$n")
+      val gif = MediaCodec.buildGif(w, h, payload)
+      assert(gif.length.toLong == MediaCodec.gifBytes(n.toLong), s"gif n=$n")
+      assert(MediaCodec.parse(gif).contains(MediaInfo("gif", w, h, 0)), s"gif n=$n")
+      val jpg = MediaCodec.buildJpeg(w, h, payload)
+      assert(jpg.length.toLong == MediaCodec.jpegBytes(n.toLong), s"jpeg n=$n")
+      assert(MediaCodec.parse(jpg).contains(MediaInfo("jpeg", w, h, 0)), s"jpeg n=$n")
+      val pages = 1 + n % 5
+      val pdf = MediaCodec.buildPdf(pages, payload)
+      assert(MediaCodec.parse(pdf).contains(MediaInfo("pdf", 0, 0, pages)), s"pdf n=$n")
+    }
+  }
+
+  test("JPEG payload full of 0xFF bytes still parses (COM length shields it)") {
+    val payload = Array.fill(300)(0xff.toByte)
+    val jpg = MediaCodec.buildJpeg(40, 20, payload)
+    assert(MediaCodec.parse(jpg).contains(MediaInfo("jpeg", 40, 20, 0)))
+  }
+
+  test("unknown magic and truncated containers are rejected, not mis-parsed") {
+    assert(MediaCodec.parse("plain text".getBytes(UTF_8)).isEmpty)
+    assert(MediaCodec.parse(Array.emptyByteArray).isEmpty)
+    val png = MediaCodec.buildPng(10, 10, Array.emptyByteArray)
+    assert(MediaCodec.parse(png.take(20)).isEmpty)
+  }
+}

@@ -369,12 +369,13 @@ class SparkSpec extends AnyFunSuite {
     assert(fp.values.toSeq.distinct.size == 50)
   }
 
-  test("mm1: media decode stub plumbing") {
+  test("mm1: media synth -> real header parse round-trip (doc 1 = GIF)") {
     val meta = Multimodal.decodeAll(Multimodal.mediaTable(
       Seq((1L, "hello world")).toDF("doc_id", "text"))).collect().head
-    assert(meta.getAs[Long]("n_bytes") == 11L)
+    assert(meta.getAs[String]("format") == "gif") // doc_id 1 % 3
+    assert(meta.getAs[Long]("n_bytes") == graft.pipeline.MediaCodec.gifBytes(11L))
     assert(meta.getAs[Int]("width") == 16 + 11 % 64)
-    assert(meta.getAs[Int]("n_frames") == 1 + 11 % 7)
+    assert(meta.getAs[Int]("height") == 16 + 11 % 48)
     assert(meta.getAs[scala.collection.Seq[Float]]("feature").length == 8)
   }
 
