@@ -149,6 +149,45 @@ WHERE qdot >= 0 AND $den*CAST(qdot AS HUGEINT)*CAST(qdot AS HUGEINT) >= $num*CAS
 ORDER BY id1, id2"""
   }
 
+  /** ann4_ivf_topk: full replay of Ann.trainCentroids + Ann.ivfTopK —
+    * the deterministic integer Lloyd k-means (sample = `sampleN` lowest
+    * vec_ids, init = `cells` lowest, `iters` unrolled assign/update
+    * rounds) and then the IVF probe/rank tail. Update rule is Java's
+    * floorDiv(2*sum + cnt, 2*cnt); DuckDB's `//` truncates toward zero,
+    * so floor division is spelled out as
+    * (a - (((a % b) + b) % b)) // b (exact: the numerator is made
+    * divisible first). Distances/dots stay < 2^53, so
+    * CAST(list_dot_product AS BIGINT) is exact. */
+  def ann4IvfTrained(cells: Int = 8, nprobe: Int = 2, k: Int = 10,
+                     iters: Int = 2, sampleN: Int = 64, dim: Int = 64): String = {
+    val fdiv = "(a - (((a % b) + b) % b)) // b"
+    val iterCtes = (0 until iters).map { t =>
+      s"""asg_$t AS (SELECT vec_id, qv, cell FROM (
+  SELECT s.vec_id, s.qv, c.cell, row_number() OVER (PARTITION BY s.vec_id
+    ORDER BY CAST(list_dot_product(c.cv, c.cv) AS BIGINT) - 2*CAST(list_dot_product(s.qv, c.cv) AS BIGINT), c.cell) AS rn
+  FROM samp s CROSS JOIN c_$t c) WHERE rn = 1),
+upd_$t AS (SELECT cell, d, 2*SUM(qv[d+1]) + COUNT(*) AS a, 2*COUNT(*) AS b
+  FROM asg_$t CROSS JOIN dims GROUP BY cell, d),
+cv_$t AS (SELECT cell, list($fdiv ORDER BY d) AS cv FROM upd_$t GROUP BY cell),
+c_${t + 1} AS (SELECT p.cell, COALESCE(n.cv, p.cv) AS cv FROM c_$t p LEFT JOIN cv_$t n ON n.cell = p.cell)"""
+    }.mkString(",\n")
+    s"""WITH q AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(x*1000) AS BIGINT)) AS qv FROM embeddings),
+samp AS (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT $sampleN),
+c_0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, qv AS cv
+  FROM (SELECT vec_id, qv FROM samp ORDER BY vec_id LIMIT $cells)),
+dims AS (SELECT unnest(range($dim)) AS d),
+$iterCtes,
+cent AS (SELECT cell, cv, CAST(list_dot_product(cv, cv) AS BIGINT) AS cn2 FROM c_$iters),
+qq AS (SELECT qv AS qqv FROM q WHERE vec_id = 0),
+assign AS (SELECT v.vec_id, v.qv, (SELECT c.cell FROM cent c
+  ORDER BY c.cn2 - 2*CAST(list_dot_product(v.qv, c.cv) AS BIGINT) ASC, c.cell ASC LIMIT 1) AS cell FROM q v),
+probes AS (SELECT c.cell FROM cent c, qq
+  ORDER BY c.cn2 - 2*CAST(list_dot_product(qq.qqv, c.cv) AS BIGINT) ASC, c.cell ASC LIMIT $nprobe)
+SELECT a.vec_id, CAST(list_dot_product(a.qv, (SELECT qqv FROM qq)) AS BIGINT) AS qdot
+FROM assign a WHERE a.cell IN (SELECT cell FROM probes)
+ORDER BY qdot DESC, a.vec_id LIMIT $k"""
+  }
+
   /** dd2_minhash_lsh: exact-dedup survivors -> w=3 token shingles (short
     * docs: whole text) -> FNV -> 64 permutations via xor with precomputed
     * splitmix64(j*K) -> signed MIN per (doc, j) -> 16 bands of 4 folded

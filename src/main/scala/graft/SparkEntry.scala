@@ -968,25 +968,12 @@ object SparkEntry {
     "dd3_simhash" -> OracleSql.dd3Simhash,
     "ann3_lsh_topk" -> OracleSql.ann3LshTopK,
 
-    // IVF replay (see Ann.ivfTopK): codebook = quantized vectors of the 8
-    // lowest vec_ids; assignment = integer argmin of |c|^2 - 2*dot(v,c)
-    // (ties -> lowest cell); probe the 2 cells nearest the query; rank by
-    // quantized dot. All int64, so the replay is bit-exact.
-    "ann4_ivf_topk" ->
-      ("WITH q AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(x*1000) AS BIGINT)) AS qv FROM embeddings), " +
-        // ordered-limit subquery (NOT `WHERE vec_id < 8`): Ann.ivfTopK takes
-        // orderBy(vec_id).limit(cells), which differs whenever vec_ids are
-        // sparse or don't start at 0
-        "cent AS (SELECT vec_id AS cell, qv AS cv, CAST(list_dot_product(qv, qv) AS BIGINT) AS cn2 " +
-        "FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT 8)), " +
-        "qq AS (SELECT qv AS qqv FROM q WHERE vec_id = 0), " +
-        "assign AS (SELECT v.vec_id, v.qv, (SELECT c.cell FROM cent c " +
-        "ORDER BY c.cn2 - 2*CAST(list_dot_product(v.qv, c.cv) AS BIGINT) ASC, c.cell ASC LIMIT 1) AS cell FROM q v), " +
-        "probes AS (SELECT c.cell FROM cent c, qq " +
-        "ORDER BY c.cn2 - 2*CAST(list_dot_product(qq.qqv, c.cv) AS BIGINT) ASC, c.cell ASC LIMIT 2) " +
-        "SELECT a.vec_id, CAST(list_dot_product(a.qv, (SELECT qqv FROM qq)) AS BIGINT) AS qdot " +
-        "FROM assign a WHERE a.cell IN (SELECT cell FROM probes) " +
-        "ORDER BY qdot DESC, a.vec_id LIMIT 10"),
+    // IVF replay (see Ann.trainCentroids / Ann.ivfTopK): the deterministic
+    // integer k-means codebook training is unrolled in SQL, then
+    // assignment = integer argmin of |c|^2 - 2*dot(v,c) (ties -> lowest
+    // cell); probe the 2 cells nearest the query; rank by quantized dot.
+    // All int64, so the replay is bit-exact.
+    "ann4_ivf_topk" -> OracleSql.ann4IvfTrained(),
 
     // sign-LSH bucket join + integer-quantized cosine threshold
     // cos >= 0.4  <=>  qdot >= 0 AND 25*qdot^2 >= 4*|a|^2*|b|^2 (HUGEINT;

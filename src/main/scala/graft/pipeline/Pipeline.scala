@@ -378,21 +378,59 @@ object Ann {
       .limit(k)
   }
 
-  /** Driver-side centroid quantization done BY Spark SQL itself (one tiny
-    * collect): running `round(x*1000)` through the same engine guarantees
-    * the inlined centroid literals agree bit-for-bit with the per-row scan
-    * projection — re-implementing the rounding on the driver can diverge
-    * near k+0.5 boundaries because the SQL expression multiplies in FLOAT
-    * before rounding. */
-  private def quantizedCentroids(emb: DataFrame, cells: Int): Array[Array[Long]] =
-    emb.orderBy("vec_id").limit(cells)
+  /** Deterministic integer Lloyd k-means for the IVF codebook — the
+    * offline-training stand-in is now a REAL k-means, kept externally
+    * replayable: the training sample is the `sampleN` lowest vec_ids
+    * (quantized BY Spark SQL so literals agree bit-for-bit with the scan
+    * projection — driver-side rounding can diverge near k+0.5 boundaries
+    * because the SQL expression multiplies in FLOAT before rounding),
+    * init = the `cells` lowest sample vectors, then `iters` fixed rounds
+    * of assign (integer L2 argmin `|c|^2 - 2*dot`, ties -> lowest cell)
+    * and update (per-dim integer mean floorDiv(2*sum + cnt, 2*cnt) =
+    * round-half-toward-+inf; empty cells keep their previous centroid).
+    * Pure int64 with a fixed iteration count, so an external engine
+    * replays the codebook exactly. At 100 TB the sample collect becomes
+    * an offline training job; the serving-side plan is unchanged. */
+  private[pipeline] def trainCentroids(emb: DataFrame, cells: Int, iters: Int,
+                                       sampleN: Int): Array[Array[Long]] = {
+    val sample: Array[Array[Long]] = emb.orderBy("vec_id").limit(sampleN)
       .select(expr("transform(embedding, x -> cast(round(x*1000) as bigint))").as("qv"))
       .collect()
       .map(_.getSeq[Long](0).toArray)
+    require(sample.length >= cells, s"sample ${sample.length} < cells $cells")
+    val dim = sample(0).length
+    var cents = sample.take(cells).map(_.clone())
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(cells)(new Array[Long](dim))
+      val cnts = new Array[Long](cells)
+      sample.foreach { v =>
+        var best = 0
+        var bestD = Long.MaxValue
+        var c = 0
+        while (c < cells) {
+          val cv = cents(c)
+          var dot = 0L; var cn2 = 0L; var i = 0
+          while (i < dim) { dot += v(i) * cv(i); cn2 += cv(i) * cv(i); i += 1 }
+          val d = cn2 - 2L * dot
+          if (d < bestD) { bestD = d; best = c } // strict < = lowest-cell tie-break
+          c += 1
+        }
+        cnts(best) += 1
+        val s = sums(best)
+        var i = 0
+        while (i < dim) { s(i) += v(i); i += 1 }
+      }
+      cents = Array.tabulate(cells) { c =>
+        if (cnts(c) == 0L) cents(c)
+        else Array.tabulate(dim)(i => Math.floorDiv(2L * sums(c)(i) + cnts(c), 2L * cnts(c)))
+      }
+    }
+    cents
+  }
 
   /** IVF-style ANN (second scale path besides sign-LSH): a coarse codebook
-    * of `cells` centroids — here the quantized vectors of the `cells`
-    * lowest vec_ids; at 100 TB the codebook is trained offline — with every
+    * of `cells` centroids — trained by `trainCentroids`; at 100 TB the
+    * training runs offline on a sample — with every
     * vector assigned to its nearest centroid by INTEGER L2 distance
     * (d_c = |c|^2 - 2*dot(v,c), the |v|^2 term is constant per row; ties ->
     * lowest cell). The query probes the `nprobe` nearest cells and ranks
@@ -402,8 +440,9 @@ object Ann {
     * final top-k is per-partition TakeOrdered + driver merge of k rows.
     * Integer-exact end to end, so an external engine reproduces it. */
   def ivfTopK(emb: DataFrame, queryVec: Array[Float], k: Int,
-              cells: Int = 8, nprobe: Int = 2): DataFrame = {
-    val cents: Array[Array[Long]] = quantizedCentroids(emb, cells)
+              cells: Int = 8, nprobe: Int = 2,
+              iters: Int = 2, sampleN: Int = 64): DataFrame = {
+    val cents: Array[Array[Long]] = trainCentroids(emb, cells, iters, sampleN)
     val cn2: Array[Long] = cents.map(c => c.map(v => v * v).sum)
     val qv: Array[Long] = quantizeViaSql(emb, queryVec)
     def qdotWith(c: Array[Long]): Long =

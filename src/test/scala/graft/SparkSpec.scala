@@ -379,6 +379,21 @@ class SparkSpec extends AnyFunSuite {
     assert(meta.getAs[scala.collection.Seq[Float]]("feature").length == 8)
   }
 
+  test("ann4: trained IVF codebook recall vs the brute-force top-k") {
+    import graft.pipeline.Ann
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.orderBy("vec_id").select("embedding").first()
+      .getAs[scala.collection.Seq[Float]](0).toArray
+    val brute = Ann.quantizedTopK(emb, q, 10).collect().map(_.getLong(0)).toSet
+    val ivf = Ann.ivfTopK(emb, q, 10).collect().map(_.getLong(0)).toSet
+    val overlap = (ivf & brute).size
+    info(s"ivf/brute top-10 overlap with trained codebook: $overlap/10")
+    // nprobe=2 of 8 cells scans ~1/4 of the table; the trained codebook
+    // must keep the query's own neighborhood in the probed cells
+    assert(overlap >= 5, s"IVF recall collapsed: $overlap/10 (ivf=$ivf brute=$brute)")
+    assert(ivf.contains(0L)) // the query vector itself must be found
+  }
+
   test("salted repartition (skew handling) preserves results exactly") {
     val docs = Corpus.generate(spark, 300, 2, megaEvery = 50) // 6 mega-docs
     val direct = ShadowSpark.process(docs, program).collect().sortBy(_.doc_id).toSeq
