@@ -346,6 +346,22 @@ object SparkEntry {
         Seq(L("<p class=\"ok\">"), fLang, L("</p>")),
         Seq("""{ "s": "p[", "hide": true }""", """{ "s": ".ok", "data": { "path": "d", "values": { "v": {"source": "Contents"} } } }"""))
         .select(col("doc_id"), col("data_json"), col("errs"))),
+    // p8: selector-grammar parity (SURVEY §2.5 table vs lol_html 1.2.1):
+    // one selector exercising the full supported subset (child combinator,
+    // id, attr =, :not, class) extracts; lol_html-unsupported grammar
+    // (pseudo-class beyond :not, sibling combinator) errors through the
+    // channel — with the p5 stack-pollution quirk applying to every rule
+    // after the first invalid one
+    "p8_selector_grammar" -> ((s, dir) =>
+      runEngine(s, dir,
+        Seq(L("<ul><li id=\"a\" data-k=\"v1\">A</li><li class=\"c2\">B-"), fLang,
+          L("</li></ul><h1>H</h1><p>tail</p>")),
+        Seq(
+          """{ "s": "ul > li#a[data-k=v1]:not(.c2)", "data": { "path": "d", "values": { "first": {"source": "Contents"} } } }""",
+          """{ "s": "li.c2", "data": { "path": "d", "values": { "second": {"source": "Contents"} } } }""",
+          """{ "s": "li:nth-child(2)", "hide": true }""",
+          """{ "s": "h1 + p", "hide": true }"""))
+        .select(col("doc_id"), col("data_json"), col("errs"))),
     "p7_transform_strings" -> ((s, dir) => {
       import s.implicits._
       val errs = new ArrayBuffer[String]
@@ -803,6 +819,12 @@ object SparkEntry {
         "FROM documents ORDER BY 1"),
     "p7_transform_strings" ->
       "SELECT CAST(doc_id AS VARCHAR) AS doc_id, '<div id=\"t\">VAL_SWAPPED<i>SWAPPED</i></div>' AS html FROM documents ORDER BY 1",
+    "p8_selector_grammar" ->
+      ("SELECT CAST(doc_id AS VARCHAR) AS doc_id, " +
+        "'{\"d\":{\"first\":\"A\",\"second\":\"B-' || lang || '\"}}' AS data_json, " +
+        "'Selector li:nth-child(2) is invalid : unsupported pseudo-class :nth-child in ''li:nth-child(2)''|" +
+        "Selector li:nth-child(2) h1 + p is invalid : unsupported pseudo-class :nth-child in ''li:nth-child(2) h1 + p''' AS errs " +
+        "FROM documents ORDER BY 1"),
 
     // shadow_extract via SQL: rewrite adds rel="nofollow" (new attrs append
     // at tag end), extraction sees the post-edit doc; no body -> no
