@@ -78,8 +78,8 @@ object Bench {
 
   /** One measurement on a REAL multi-executor topology: spawn BenchCluster
     * (local-cluster[n, 4, 4096] — n genuine executor JVMs, each sized for
-    * its 4 cores) and parse its wall. */
-  private def clusterWall(nExec: Int, corpusPath: String, nDocs: Long): Double = {
+    * its 4 cores) and parse (job wall, same-topology engine-ceiling wall). */
+  private def clusterWall(nExec: Int, corpusPath: String, nDocs: Long): (Double, Double) = {
     val javaBin = sys.props("java.home") + "/bin/java"
     val cmd = Seq(javaBin) ++ jdk17AddOpens ++ Seq(
       "-Xmx3g", "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
@@ -95,9 +95,10 @@ object Bench {
     val p = pb.start()
     val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
     require(p.waitFor() == 0, s"cluster child (n=$nExec) failed:\n${out.takeRight(4000)}")
-    out.linesIterator.collectFirst {
-      case l if l.startsWith("GRAFT_WALL=") => l.stripPrefix("GRAFT_WALL=").toDouble
-    }.getOrElse(sys.error(s"cluster child (n=$nExec) printed no GRAFT_WALL"))
+    def grab(key: String): Double = out.linesIterator.collectFirst {
+      case l if l.startsWith(s"$key=") => l.stripPrefix(s"$key=").toDouble
+    }.getOrElse(sys.error(s"cluster child (n=$nExec) printed no $key"))
+    (grab("GRAFT_WALL"), grab("GRAFT_ENGINE_WALL"))
   }
 
   def main(args: Array[String]): Unit = {
@@ -174,20 +175,66 @@ object Bench {
     val pairs4 = (0 until rounds).map(r => (walls(4)(r), walls(16)(r)))
     val pairs = (0 until rounds).map(r => (walls(8)(r), walls(32)(r)))
 
+    // ---- write-shaped output-path A/B (typed Encoder vs columnar decode
+    // vs zero-object raw UnsafeRow emission), interleaved in one warmed
+    // session, "noop" sink = full serialization without disk. The count-
+    // shaped scaling pairs stay on processColumnar because count prunes
+    // the output serializer entirely (raw's advantage is write-shaped —
+    // that is exactly what this A/B measures). ----
+    def abWall(kind: String, s: SparkSession): Double = {
+      import s.implicits._
+      val df = kind match {
+        case "typed" => ShadowSpark.process(s.read.parquet(corpusPath).as[Doc], program).toDF()
+        case "columnar" => ShadowSpark.processColumnar(s.read.parquet(corpusPath), program).toDF()
+        case _ => ShadowSpark.processColumnarRaw(s.read.parquet(corpusPath), program)
+      }
+      val t0 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val abRounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_AB_ROUNDS", "2").toInt
+    val abKinds = Seq("typed", "columnar", "raw")
+    val abWalls: Map[String, ArrayBuffer[Double]] =
+      abKinds.map(_ -> new ArrayBuffer[Double]).toMap
+    if (abRounds > 0) {
+      val sAb = session(cpus)
+      try {
+        abKinds.foreach(k => abWall(k, sAb)) // warm
+        for (_ <- 1 to abRounds; k <- abKinds) abWalls(k) += abWall(k, sAb)
+      } finally sAb.stop()
+    }
+    val abDps: Map[String, Double] =
+      abKinds.map(k => k -> (if (abWalls(k).nonEmpty) nDocs / abWalls(k).min else 0.0)).toMap
+    val abWinner = if (abRounds > 0) abKinds.maxBy(abDps) else "n/a"
+
     // The literal north-rule form: the SAME job on a REAL multi-executor
     // topology, 1 vs 4 executor JVMs of 4 cores each (local-cluster),
-    // interleaved like the thread pairs. Executor-mode adds per-task RPC +
+    // interleaved like the thread pairs; each invocation ALSO measures the
+    // SAME-TOPOLOGY pure-engine ceiling (BenchCluster GRAFT_ENGINE_WALL),
+    // so the job's executor-shape efficiency is graded against the box's
+    // own ceiling in that exact shape. Executor-mode adds per-task RPC +
     // per-JVM cache footprint, so its curve reads slightly below the
     // same-box thread pairs; reported alongside them.
     val clusterRounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_CLUSTER_ROUNDS", "3").toInt
-    val pairsExec: IndexedSeq[(Double, Double)] =
+    // per round: (job1, eng1, job4, eng4)
+    val execRounds: IndexedSeq[(Double, Double, Double, Double)] =
       if (sys.env.get("SPARK_GRAFT_BENCH_CLUSTER").contains("0")) IndexedSeq.empty
       else (1 to clusterRounds).map { _ =>
-        (clusterWall(1, corpusPath, nDocs), clusterWall(4, corpusPath, nDocs))
+        val (j1, e1) = clusterWall(1, corpusPath, nDocs)
+        val (j4, e4) = clusterWall(4, corpusPath, nDocs)
+        (j1, e1, j4, e4)
       }
+    val pairsExec: IndexedSeq[(Double, Double)] = execRounds.map(r => (r._1, r._3))
+    val pairsExecEng: IndexedSeq[(Double, Double)] = execRounds.map(r => (r._2, r._4))
     val bestE1 = if (pairsExec.nonEmpty) pairsExec.map(_._1).min else 0.0
     val bestE4 = if (pairsExec.nonEmpty) pairsExec.map(_._2).min else 0.0
     val effExec = if (pairsExec.nonEmpty) (bestE1 / bestE4) / 4.0 else 0.0
+    val bestEng1 = if (pairsExecEng.nonEmpty) pairsExecEng.map(_._1).min else 0.0
+    val bestEng4 = if (pairsExecEng.nonEmpty) pairsExecEng.map(_._2).min else 0.0
+    val effExecEng = if (pairsExecEng.nonEmpty) (bestEng1 / bestEng4) / 4.0 else 0.0
+    // the stable exec-shape statistic: job efficiency over the SAME-ROUND
+    // same-topology engine ceiling (throttle cancels within a round)
+    val jobToCeilingExec = if (effExecEng > 0) effExec / effExecEng else 0.0
     val dpsE1 = if (pairsExec.nonEmpty) nDocs / bestE1 else 0.0
     val dpsE4 = if (pairsExec.nonEmpty) nDocs / bestE4 else 0.0
     // ---- calibration: the engine alone (no Spark, no parquet decode) over
@@ -255,6 +302,7 @@ object Bench {
     val pairsStr = pairs.map { case (a, b) => f"[$a%.2f,$b%.2f]" }.mkString("[", ",", "]")
     val pairs4Str = pairs4.map { case (a, b) => f"[$a%.2f,$b%.2f]" }.mkString("[", ",", "]")
     val pairsExecStr = pairsExec.map { case (a, b) => f"[$a%.2f,$b%.2f]" }.mkString("[", ",", "]")
+    val pairsExecEngStr = pairsExecEng.map { case (a, b) => f"[$a%.2f,$b%.2f]" }.mkString("[", ",", "]")
     // executor metrics are NULL (not 0.000) when the cluster pass is
     // skipped, so a skipped pass cannot read as a measured-zero
     val execRan = pairsExec.nonEmpty
@@ -263,6 +311,12 @@ object Bench {
     // job-to-ceiling: measured job efficiency over the SAME-RUN pure-engine
     // ceiling — the host-throttle-invariant quantity
     val jobToCeiling4 = if (engEff4 > 0) efficiency4 / engEff4 else 0.0
+    // per-round exec job-eff / exec ceiling-eff (throttle cancels in-round)
+    val jtcExecMedian = median(execRounds.map { r =>
+      val jobEff = r._1 / r._3
+      val engEffR = r._2 / r._4
+      if (engEffR > 0) jobEff / engEffR else 0.0
+    })
     val gitSha: String =
       try {
         val p = new ProcessBuilder("git", "rev-parse", "--short", "HEAD").start()
@@ -270,7 +324,7 @@ object Bench {
         if (p.waitFor() == 0 && o.nonEmpty) o else "unknown"
       } catch { case _: Exception => "unknown" }
     println(
-      f"""{"metric":"docs_per_sec_local32","value":$dps32%.1f,"unit":"docs/sec","queries":$qs,"sf":"$sfDir","total_query_sec":$total%.2f,"bench_docs":$nDocs,"sha":"$gitSha","docs_per_sec_local8":$dps8%.1f,"docs_per_sec_local4":$dps4%.1f,"docs_per_sec_local16":$dps16%.1f,"docs_per_sec_1_executor":${j(dpsE1, execRan, "%.1f")},"docs_per_sec_4_executors":${j(dpsE4, execRan, "%.1f")},"wall_pairs_4_16":$pairs4Str,"wall_pairs_8_32":$pairsStr,"wall_pairs_exec_1_4":$pairsExecStr,"scaling_efficiency_n4_to_16":$efficiency4%.3f,"scaling_efficiency_n4_to_16_median":$effMedian4%.3f,"scaling_efficiency_8_to_32":$efficiency%.3f,"scaling_efficiency_executors_1_to_4":${j(effExec, execRan)},"job_to_engine_ceiling_4_16":$jobToCeiling4%.3f,"engine_docs_per_sec_8t":$eng8%.1f,"engine_docs_per_sec_32t":$eng32%.1f,"engine_scaling_efficiency_4_to_16":$engEff4%.3f,"engine_scaling_efficiency_8_to_32":$engEff%.3f}""")
+      f"""{"metric":"docs_per_sec_local32","value":$dps32%.1f,"unit":"docs/sec","queries":$qs,"sf":"$sfDir","total_query_sec":$total%.2f,"bench_docs":$nDocs,"sha":"$gitSha","docs_per_sec_local8":$dps8%.1f,"docs_per_sec_local4":$dps4%.1f,"docs_per_sec_local16":$dps16%.1f,"docs_per_sec_1_executor":${j(dpsE1, execRan, "%.1f")},"docs_per_sec_4_executors":${j(dpsE4, execRan, "%.1f")},"wall_pairs_4_16":$pairs4Str,"wall_pairs_8_32":$pairsStr,"wall_pairs_exec_1_4":$pairsExecStr,"engine_wall_pairs_exec_1_4":$pairsExecEngStr,"scaling_efficiency_n4_to_16":$efficiency4%.3f,"scaling_efficiency_n4_to_16_median":$effMedian4%.3f,"scaling_efficiency_8_to_32":$efficiency%.3f,"scaling_efficiency_executors_1_to_4":${j(effExec, execRan)},"scaling_efficiency_exec_engine_ceiling":${j(effExecEng, execRan)},"job_to_exec_ceiling":${j(jobToCeilingExec, execRan)},"job_to_exec_ceiling_median":${j(jtcExecMedian, execRan)},"docs_per_sec_write_typed":${j(abDps("typed"), abRounds > 0, "%.1f")},"docs_per_sec_write_columnar":${j(abDps("columnar"), abRounds > 0, "%.1f")},"docs_per_sec_write_raw":${j(abDps("raw"), abRounds > 0, "%.1f")},"write_path_winner":"$abWinner","job_to_engine_ceiling_4_16":$jobToCeiling4%.3f,"engine_docs_per_sec_8t":$eng8%.1f,"engine_docs_per_sec_32t":$eng32%.1f,"engine_scaling_efficiency_4_to_16":$engEff4%.3f,"engine_scaling_efficiency_8_to_32":$engEff%.3f}""")
 
     val md =
       f"""# BENCH / BASELINE — measured numbers
@@ -317,7 +371,11 @@ object Bench {
          || wall pairs (4s,16s) | $pairs4Str |
          || docs/sec 1 executor / 4 executors (local-cluster, 4 cores each) | ${if (execRan) f"$dpsE1%.1f / $dpsE4%.1f" else "not run this round"} |
          || scaling efficiency N=1 -> 4N=4 executor JVMs | ${if (execRan) f"$effExec%.3f" else "not run this round"} |
+         || SAME-TOPOLOGY engine ceiling, 1 -> 4 executors | ${if (execRan) f"$effExecEng%.3f" else "not run this round"} |
+         || **job-to-ceiling, executor shape** (best / median-of-rounds) | ${if (execRan) f"**$jobToCeilingExec%.3f** / $jtcExecMedian%.3f (target >= 0.9)" else "not run this round"} |
          || wall pairs (exec1 s, exec4 s) | $pairsExecStr |
+         || engine-ceiling wall pairs (exec1 s, exec4 s) | $pairsExecEngStr |
+         || write-path A/B docs/sec (typed / columnar / raw, noop sink) | ${if (abRounds > 0) f"${abDps("typed")}%.1f / ${abDps("columnar")}%.1f / ${abDps("raw")}%.1f -> winner: $abWinner" else "not run"} |
          || best wall local[8] / local[32] | $best8%.2f s / $best32%.2f s |
          || docs/sec local[8] / local[32] | $dps8%.1f / $dps32%.1f |
          || scaling efficiency 8 -> 32 (supplementary) | $efficiency%.3f |
@@ -364,7 +422,7 @@ object Bench {
     // number by up to ~2x between runs, so the md cites the best recorded
     // (measurement, same-run-ceiling) pair, not just this run's window
     val histLine =
-      f"""{"sha":"$gitSha","eff_4_16":$efficiency4%.3f,"eff_4_16_median":$effMedian4%.3f,"eff_8_32":$efficiency%.3f,"eff_exec_1_4":${j(effExec, execRan)},"eng_eff_4_16":$engEff4%.3f,"eng_eff_8_32":$engEff%.3f,"job_to_ceiling_4_16":$jobToCeiling4%.3f,"dps_local32":$dps32%.1f,"dps_local16":$dps16%.1f,"dps_4_executors":${j(dpsE4, execRan, "%.1f")}}"""
+      f"""{"sha":"$gitSha","eff_4_16":$efficiency4%.3f,"eff_4_16_median":$effMedian4%.3f,"eff_8_32":$efficiency%.3f,"eff_exec_1_4":${j(effExec, execRan)},"eng_eff_exec_1_4":${j(effExecEng, execRan)},"jtc_exec":${j(jobToCeilingExec, execRan)},"jtc_exec_median":${j(jtcExecMedian, execRan)},"eng_eff_4_16":$engEff4%.3f,"eng_eff_8_32":$engEff%.3f,"job_to_ceiling_4_16":$jobToCeiling4%.3f,"dps_local32":$dps32%.1f,"dps_local16":$dps16%.1f,"dps_4_executors":${j(dpsE4, execRan, "%.1f")},"dps_write_raw":${j(abDps("raw"), abRounds > 0, "%.1f")},"dps_write_columnar":${j(abDps("columnar"), abRounds > 0, "%.1f")},"dps_write_typed":${j(abDps("typed"), abRounds > 0, "%.1f")}}"""
     val histPath = Paths.get("BENCH/HISTORY.jsonl")
     Files.writeString(histPath, histLine + "\n",
       StandardOpenOption.CREATE, StandardOpenOption.APPEND)
@@ -376,11 +434,12 @@ object Bench {
     val histCur = hist.filter(_.contains(s""""sha":"$gitSha""""))
     // an "efficiency" above 1.0 is a measurement failure (one side hit a
     // host-throttle window), not a best — discard such samples from stats
-    def histMaxIn(lines: scala.collection.Seq[String], key: String): Double =
+    def histMaxIn(lines: scala.collection.Seq[String], key: String,
+                  cap: Double = 1.0): Double =
       lines.flatMap { l =>
         val m = s""""$key":([0-9.]+)""".r.findFirstMatchIn(l)
         m.map(_.group(1).toDouble)
-      }.filter(_ <= 1.0).maxOption.getOrElse(0.0)
+      }.filter(_ <= cap).maxOption.getOrElse(0.0)
     def histMedIn(lines: scala.collection.Seq[String], key: String): Double =
       median(lines.flatMap { l =>
         s""""$key":([0-9.]+)""".r.findFirstMatchIn(l).map(_.group(1).toDouble)
@@ -392,6 +451,11 @@ object Bench {
     val bestEngEver = histMaxIn(hist, "eng_eff_4_16")
     val bestExecEver = histMaxIn(hist, "eff_exec_1_4")
     val medExecEver = histMedIn(hist, "eff_exec_1_4")
+    // job eff over same-topology engine ceiling can legitimately nudge
+    // past 1.0 (the scan share can scale better than compute); cap only
+    // the absurd
+    val bestJtcExec = histMaxIn(hist, "jtc_exec", cap = 1.25)
+    val medJtcExec = histMedIn(hist, "jtc_exec_median")
     val histNote =
       f"""
          |Run history (`BENCH/HISTORY.jsonl`, ${hist.size} runs total,
@@ -402,6 +466,7 @@ object Bench {
          || this revision: best / median 4->16 efficiency | $best4Cur%.3f / $med4Cur%.3f |
          || this revision: best job-to-engine-ceiling ratio (4->16) | $bestJtcCur%.3f |
          || exec 1->4: median / best across ALL runs | $medExecEver%.3f / $bestExecEver%.3f |
+         || exec job-to-SAME-TOPOLOGY-ceiling: median-of-medians / best across runs | $medJtcExec%.3f / $bestJtcExec%.3f |
          || best ever, ANY revision: 4->16 / engine ceiling | $best4Ever%.3f / $bestEngEver%.3f |
          |
          |The executor-JVM shape is the most REPRODUCIBLE number on this

@@ -51,14 +51,47 @@ object BenchCluster {
       val program = RuleCompiler.compile(Seq(
         RuleParser.parseStr(Corpus.headRules, errs),
         RuleParser.parseStr(Corpus.corpusRules, errs)))
+      val progBc = s.sparkContext.broadcast(program)
+
+      // SAME-TOPOLOGY pure-engine ceiling: the engine alone over
+      // executor-cached in-memory docs (no parquet scan, no UTF-8 decode,
+      // no span reassembly) through the very same executor JVMs — the
+      // pure-CPU calibration for THIS shape, so the job's executor-shape
+      // efficiency can be graded against the box's own ceiling rather
+      // than an in-process thread calibration with different overheads.
+      // Fixed total work on both cluster sizes, matching the job protocol.
+      def engineWall(): Double = {
+        val t0 = System.nanoTime()
+        val done = s.sparkContext.range(0L, nDocs, 1, numSlices = nExec * 4 * 6)
+          .mapPartitions { it =>
+            val e = new graft.engine.ShadowEngine(progBc.value)
+            val docs = BenchClusterCal.docs
+            var c = 0L
+            it.foreach { i => e.process(docs((i % docs.length).toInt)); c += 1 }
+            Iterator.single(c)
+          }.sum()
+        require(done == nDocs, s"engine cal processed $done != $nDocs")
+        (System.nanoTime() - t0) / 1e9
+      }
+
       // warmup x2: each executor has only one C2 compiler thread at
-      // ActiveProcessorCount=4, so a single pass can leave a JIT backlog
+      // ActiveProcessorCount=4, so a single pass can leave a JIT backlog;
+      // the engine-cal warmup also materializes each executor's doc cache
       ShadowSpark.processColumnar(s.read.parquet(corpusPath), program).count()
       ShadowSpark.processColumnar(s.read.parquet(corpusPath), program).count()
+      engineWall()
       val t0 = System.nanoTime()
       val n = ShadowSpark.processColumnar(s.read.parquet(corpusPath), program).count()
       require(n == nDocs, s"row count $n != $nDocs")
       println(f"GRAFT_WALL=${(System.nanoTime() - t0) / 1e9}%.4f")
+      println(f"GRAFT_ENGINE_WALL=${engineWall()}%.4f")
     } finally s.stop()
   }
+}
+
+/** Executor-JVM-local doc cache for the same-topology engine calibration
+  * (initialized once per executor by the warmup pass). */
+object BenchClusterCal {
+  lazy val docs: Array[graft.core.Doc] =
+    (0 until 20000).map(i => graft.corpus.Corpus.makeDoc(i.toLong)).toArray
 }
