@@ -149,6 +149,20 @@ WHERE qdot >= 0 AND $den*CAST(qdot AS HUGEINT)*CAST(qdot AS HUGEINT) >= $num*CAS
 ORDER BY id1, id2"""
   }
 
+  /** web2_mixture_sample: replay of WebCorpus.mixtureSample — FNV
+    * fingerprint of 'source:doc_id' (same hash as tx4, HUGEINT mod 2^64),
+    * re-signed to int64, pmod 1000 against the per-source rate. */
+  def web2MixtureSample: String =
+    s"""WITH f AS (SELECT source, CAST(substring(source, 4) AS INT) % 10 AS k,
+  ${fnv("source || ':' || CAST(doc_id AS VARCHAR)")} AS r FROM documents),
+s AS (SELECT source, 100 + 50 * k AS rate_permille,
+  CASE WHEN r >= CAST('9223372036854775808' AS HUGEINT) THEN r - $P64 ELSE r END AS sgn FROM f),
+d AS (SELECT source, rate_permille,
+  CASE WHEN ((sgn % 1000) + 1000) % 1000 < rate_permille THEN 1 ELSE 0 END AS keep FROM s)
+SELECT source, CAST(rate_permille AS BIGINT) AS rate_permille,
+  COUNT(*) AS n_total, CAST(SUM(keep) AS BIGINT) AS n_kept
+FROM d GROUP BY 1, 2 ORDER BY source"""
+
   /** ann4_ivf_topk: full replay of Ann.trainCentroids + Ann.ivfTopK —
     * the deterministic integer Lloyd k-means (sample = `sampleN` lowest
     * vec_ids, init = `cells` lowest, `iters` unrolled assign/update

@@ -593,6 +593,51 @@ object SparkEntry {
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"), max(col("k")).as("max_k"))
         .orderBy("event_type")),
+    // q9: as-of join in the union+window shape (Relational.asofJoin) — for
+    // each click, the user's latest view at or before it; ONE shuffle on
+    // user_id, no range join, no per-key pair blowup (PlanSpec pins the
+    // join-free plan). Tie at equal ts -> highest view event_id.
+    "q9_asof_join" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = ev.where(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      graft.pipeline.Relational.asofJoin(clicks, views, "user_id", "ts",
+          struct(col("event_id").as("vid")))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("asof.vid").as("view_event_id"))
+        .orderBy("event_id")
+    }),
+    // q10: bounded-delta range join in the bucket shape
+    // (Relational.rangeCount) — views within +-10 min of each purchase of
+    // the same user; equi-join on (user, time-bucket), never a cartesian
+    "q10_range_join" -> ((s, dir) => {
+      val ev = events(s, dir)
+      graft.pipeline.Relational.rangeCount(
+        ev.where(col("event_type") === "purchase"),
+        ev.where(col("event_type") === "view"),
+        "user_id", "ts", "event_id", 600L)
+        .orderBy("event_id")
+    }),
+
+    // ---- web-corpus curation ----
+    // web1: per-domain cap (anti-domination guard): top-2 docs per source
+    // by (n_chars desc, doc_id)
+    "web1_domain_cap" -> ((s, dir) =>
+      graft.pipeline.WebCorpus.domainCap(documents(s, dir)).orderBy("source", "rank")),
+    // web2: deterministic mixture sampling — keep-rate per source replayed
+    // through the tx4 FNV fingerprint, so the sample is stable and
+    // externally replayable; rate_permille = 100 + 50 * (source index % 10)
+    "web2_mixture_sample" -> ((s, dir) =>
+      graft.pipeline.WebCorpus.mixtureSample(documents(s, dir),
+        _ => lit(100L) + lit(50L) *
+          pmod(expr("CAST(substring(source, 4) AS INT)").cast("long"), lit(10L)))
+        .orderBy("source")),
+    // web3: GPT-style sequence packing (concat in doc order within each
+    // source shard, cut every 512 tokens): per-doc first/last sequence ids
+    "web3_seq_packing" -> ((s, dir) =>
+      graft.pipeline.WebCorpus.seqPacking(documents(s, dir)).orderBy("doc_id")),
 
     // ---- multimodal plumbing ----
     // mm1: synth REAL containers (png/gif/jpeg by doc_id % 3, payload =
@@ -934,6 +979,40 @@ object SparkEntry {
         "CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k, " +
         "CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k " +
         "FROM events GROUP BY 1 ORDER BY 1"),
+    // as-of replay: latest view per click via ranked left join; the window
+    // shape on the Spark side and the join shape here must agree on the
+    // tie-break (latest ts, then highest view event_id)
+    "q9_asof_join" ->
+      ("WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'), " +
+        "v AS (SELECT user_id, ts, event_id AS vid FROM events WHERE event_type = 'view'), " +
+        "j AS (SELECT c.event_id, c.user_id, c.ts, v.vid, " +
+        "row_number() OVER (PARTITION BY c.event_id ORDER BY v.ts DESC, v.vid DESC) AS rn " +
+        "FROM c LEFT JOIN v ON v.user_id = c.user_id AND v.ts <= c.ts) " +
+        "SELECT event_id, user_id, ts, vid AS view_event_id FROM j WHERE rn = 1 ORDER BY event_id"),
+    // range replay: plain BETWEEN join over floor-second epochs (the Spark
+    // side buckets the same floor-second values; the bucket trick changes
+    // the plan, not the result)
+    "q10_range_join" ->
+      ("WITH p AS (SELECT event_id, user_id, ts, CAST(floor(epoch(ts)) AS BIGINT) AS tsec " +
+        "FROM events WHERE event_type = 'purchase'), " +
+        "v AS (SELECT user_id AS vu, CAST(floor(epoch(ts)) AS BIGINT) AS vsec " +
+        "FROM events WHERE event_type = 'view') " +
+        "SELECT p.event_id, p.user_id, p.ts, COUNT(v.vsec) AS n_within " +
+        "FROM p LEFT JOIN v ON v.vu = p.user_id AND abs(p.tsec - v.vsec) <= 600 " +
+        "GROUP BY 1, 2, 3 ORDER BY 1"),
+    "web1_domain_cap" ->
+      ("SELECT doc_id, source, n_chars, rank FROM (" +
+        "SELECT doc_id, source, n_chars, " +
+        "CAST(row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS INT) AS rank " +
+        "FROM documents) WHERE rank <= 2 ORDER BY source, rank"),
+    "web2_mixture_sample" -> OracleSql.web2MixtureSample,
+    "web3_seq_packing" ->
+      ("SELECT doc_id, source, n_tokens, cum_tokens, " +
+        "CAST((cum_tokens - n_tokens) // 512 AS BIGINT) AS first_seq, " +
+        "CAST((cum_tokens - 1) // 512 AS BIGINT) AS last_seq FROM (" +
+        "SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, " +
+        "CAST(SUM(len(string_split(text, ' '))) OVER (PARTITION BY source ORDER BY doc_id " +
+        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens FROM documents) ORDER BY doc_id"),
     "dd1_exact_dedup" ->
       ("SELECT COUNT(*) AS n_unique, CAST(SUM(n_copies) AS BIGINT) AS n_docs, MIN(keep_id) AS min_keep, MAX(keep_id) AS max_keep FROM (" +
         "SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies FROM documents GROUP BY text)"),

@@ -151,6 +151,17 @@ object Sessionize {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
+  /** Streaming exact dedup with BOUNDED state: the first event per key is
+    * emitted, later duplicates are dropped, and the suppression state is
+    * reclaimed once the watermark passes (`dropDuplicatesWithinWatermark`)
+    * — the streaming twin of `Dedup.exact`. State is O(distinct keys
+    * inside the watermark window), RocksDB-backed at scale — NOT O(all
+    * keys ever), which plain `dropDuplicates` on a stream would keep. */
+  def streamingDedup(events: DataFrame, keys: Seq[String],
+                     watermarkDelay: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark(keys)
+
   /** Watermarked tumbling-window aggregation over a streaming events feed
     * (the standard windowed-agg shape; q4 is its batch twin). */
   def windowedCounts(streamEvents: DataFrame): DataFrame =

@@ -65,6 +65,24 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"dd7 should not join: ${p.take(2000)}")
   }
 
+  test("q9: the as-of join is the union+window shape — no join operator at all") {
+    val p = plan("q9_asof_join")
+    assert(p.contains("Window"), p.take(800))
+    assert(!p.contains("Join"), s"q9 must not contain a join: ${p.take(2000)}")
+  }
+
+  test("q10: the range join stays an equi-join on (key, bucket), never a cartesian") {
+    val p = plan("q10_range_join")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
+  test("web2: mixture sampling is scan-local + one partial/final agg, no join") {
+    val p = plan("web2_mixture_sample")
+    assert(!p.contains("Join"), p.take(2000))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(1500))
+  }
+
   test("partial aggregation (map-side combine) on the big group-bys") {
     val p = plan("q1_agg")
     // two HashAggregate nodes = partial + final

@@ -107,6 +107,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup (watermark-bounded state) emits exactly the batch-distinct keys") {
+    import graft.streaming.Sessionize
+    val dir = java.nio.file.Files.createTempDirectory("graft_sdedup").toString
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(dir).schema).parquet(dir)
+      .withColumn("ts", org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+    val q = Sessionize.streamingDedup(stream, Seq("user_id", "event_type"))
+      .writeStream.outputMode("append").format("memory").queryName("graft_sdedup_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("graft_sdedup_out")
+        .select("user_id", "event_type").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      val batch = spark.read.parquet(dir)
+        .select("user_id", "event_type").distinct().collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      // exactly one emission per distinct key
+      assert(spark.table("graft_sdedup_out").count() == batch.size.toLong)
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("stateful sessionization (flatMapGroupsWithState) matches batch closed sessions") {
     import graft.streaming.Sessionize
     val eventsDf = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
