@@ -621,6 +621,36 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // q11: per-source distribution stats — EXACT interpolated percentiles
+    // (both engines use the standard (n-1)*p linear interpolation). This
+    // is the verification path; at 100 TB the serving path is
+    // approx_percentile (t-digest, partial-aggregable) with this as its
+    // accuracy oracle. Outputs quantized x10 so the replay is integer.
+    "q11_quantiles" -> ((s, dir) =>
+      documents(s, dir).groupBy(col("source"))
+        .agg(expr("CAST(round(percentile(n_chars, 0.5) * 10) AS BIGINT)").as("p50_x10"),
+          expr("CAST(round(percentile(n_chars, 0.9) * 10) AS BIGINT)").as("p90_x10"),
+          count(lit(1)).as("n"))
+        .orderBy("source")),
+    // cdc1: MERGE INTO semantics (Relational.mergeUpsert) — deletes for
+    // doc_id%7=0, payload updates for %7=1, inserts under new keys for
+    // %11=0, applied via union + per-key window-max (one shuffle, no join)
+    "cdc1_merge_upsert" -> ((s, dir) => {
+      val docs = documents(s, dir).select(col("doc_id"), col("source"), col("n_chars"))
+      val deletes = docs.where(pmod(col("doc_id"), lit(7)) === 0)
+        .select(col("doc_id"), lit(1L).as("version"), lit("delete").as("op"),
+          col("source"), col("n_chars"))
+      val updates = docs.where(pmod(col("doc_id"), lit(7)) === 1)
+        .select(col("doc_id"), lit(1L).as("version"), lit("upsert").as("op"),
+          col("source"), (col("n_chars") + 1000L).as("n_chars"))
+      val inserts = docs.where(pmod(col("doc_id"), lit(11)) === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), lit(1L).as("version"),
+          lit("upsert").as("op"), col("source"), col("n_chars"))
+      graft.pipeline.Relational.mergeUpsert(docs,
+          deletes.unionByName(updates).unionByName(inserts), "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // ---- web-corpus curation ----
     // web1: per-domain cap (anti-domination guard): top-2 docs per source
     // by (n_chars desc, doc_id)
@@ -1000,6 +1030,17 @@ object SparkEntry {
         "SELECT p.event_id, p.user_id, p.ts, COUNT(v.vsec) AS n_within " +
         "FROM p LEFT JOIN v ON v.vu = p.user_id AND abs(p.tsec - v.vsec) <= 600 " +
         "GROUP BY 1, 2, 3 ORDER BY 1"),
+    "q11_quantiles" ->
+      ("SELECT source, CAST(round(quantile_cont(n_chars, 0.5) * 10) AS BIGINT) AS p50_x10, " +
+        "CAST(round(quantile_cont(n_chars, 0.9) * 10) AS BIGINT) AS p90_x10, " +
+        "count(*) AS n FROM documents GROUP BY 1 ORDER BY 1"),
+    // merge replay: survivors = base minus deleted/updated keys, plus the
+    // updated payloads, plus the inserts under shifted keys
+    "cdc1_merge_upsert" ->
+      ("SELECT doc_id, source, n_chars FROM documents WHERE doc_id % 7 <> 0 AND doc_id % 7 <> 1 " +
+        "UNION ALL SELECT doc_id, source, n_chars + 1000 FROM documents WHERE doc_id % 7 = 1 " +
+        "UNION ALL SELECT doc_id + 1000000, source, n_chars FROM documents WHERE doc_id % 11 = 0 " +
+        "ORDER BY doc_id"),
     "web1_domain_cap" ->
       ("SELECT doc_id, source, n_chars, rank FROM (" +
         "SELECT doc_id, source, n_chars, " +

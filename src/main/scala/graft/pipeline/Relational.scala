@@ -57,6 +57,27 @@ object Relational {
     * is how a 100 TB temporal-window join avoids both the cartesian and
     * an unbounded sort window.
     */
+  /** CDC merge (MERGE INTO semantics, batch shape): apply a change set
+    * (op = "upsert"/"delete" + full payload + a version > 0) onto a base
+    * table — the table-maintenance step for continuously re-crawled
+    * corpora. Union + per-key window-max instead of the textbook full
+    * outer join: ONE shuffle on the key, the winner per key is the
+    * highest-version row (base rows are version 0), and a delete winner
+    * drops the key. Versions must be unique per key; ties fall back to
+    * op ordering for determinism.
+    *
+    * Scale: at 10^12 rows both sides bucket by the key (Iceberg bucket
+    * transform) so the shuffle co-locates; the per-key window sort covers
+    * base+changes rows of that key only, O(k log k), spillable. */
+  def mergeUpsert(base: DataFrame, changes: DataFrame, key: String): DataFrame = {
+    val b = base.withColumn("version", lit(0L)).withColumn("op", lit("upsert"))
+    val u = b.unionByName(changes.select(b.columns.map(col): _*))
+    val w = Window.partitionBy(col(key)).orderBy(col("version").desc, col("op"))
+    u.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1 && col("op") === "upsert")
+      .drop("__rn", "version", "op")
+  }
+
   def rangeCount(left: DataFrame, right: DataFrame, key: String, time: String,
                  leftId: String, deltaSec: Long): DataFrame = {
     val lsec = col(time).cast("timestamp").cast("long")

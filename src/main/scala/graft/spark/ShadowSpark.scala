@@ -398,7 +398,11 @@ object ShadowSpark {
       if (done.isEmpty) docs
       else docs.where(!bucketOf(nBuckets).isin(done.toSeq.map(Integer.valueOf): _*))
 
-    val out = process(remaining, program)
+    // zero-object raw emission: the write-shaped path where the Encoder's
+    // per-span serializer loop is real per-row work — measured fastest of
+    // typed/columnar/raw in the bench A/B (BENCH/BASELINE.md); byte-equal
+    // to the typed path (SparkSpec pins raw == typed output)
+    val out = processColumnarRaw(remaining.toDF(), program)
       .withColumn("bucket", bucketOf(nBuckets))
 
     val prevMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")

@@ -83,6 +83,12 @@ class PlanSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(1500))
   }
 
+  test("cdc1: merge is union + window, not a join") {
+    val p = plan("cdc1_merge_upsert")
+    assert(p.contains("Window"), p.take(800))
+    assert(!p.contains("Join"), s"cdc1 must not join: ${p.take(2000)}")
+  }
+
   test("partial aggregation (map-side combine) on the big group-bys") {
     val p = plan("q1_agg")
     // two HashAggregate nodes = partial + final
