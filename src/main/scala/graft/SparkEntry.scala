@@ -621,6 +621,37 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // pipe3: the full user story in ONE plan — rule-engine extraction
+    // (article text pulled out of the page into data_json), then the
+    // curation ops run over the EXTRACTED text: get_json_object projection
+    // -> exact-dedup survivors -> token-count quality gate -> per-language
+    // mix. Pins that engine output composes with the relational layer and
+    // that extraction is byte-faithful through the JSON round-trip.
+    "pipe3_extract_quality_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val program = compile(Seq(
+        """{ "s": "p.art", "data": { "path": "d", "values": { "t": {"source": "Contents"} } } }"""))
+      val bc = s.sparkContext.broadcast(program)
+      val input = documents(s, dir).select(col("doc_id"), col("lang"),
+        tplCol(Seq(L("<div class=\"nav\"><a href=\"/\">home</a></div><p class=\"art\">"),
+          fText, L("</p>"))).as("h"))
+        .as[(Long, String, String)]
+      val extracted = input.mapPartitions { it =>
+        val e = new ShadowEngine(bc.value)
+        it.map { case (id, lang, h) =>
+          val r = e.process(Doc(id.toString, Seq(Span(SpanKinds.Html, h, "", 0))))
+          (id, lang, r.data_json)
+        }
+      }.toDF("doc_id", "lang", "data_json")
+      val withText = extracted.select(col("doc_id"), col("lang"),
+        get_json_object(col("data_json"), "$.d.t").as("text"))
+      Dedup.exactSurvivors(withText)
+        .where(size(split(col("text"), " ")) >= 20)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " ")).cast("long")).as("sum_tokens"))
+        .orderBy("lang")
+    }),
     // q11: per-source distribution stats — EXACT interpolated percentiles
     // (both engines use the standard (n-1)*p linear interpolation). This
     // is the verification path; at 100 TB the serving path is
@@ -1030,6 +1061,15 @@ object SparkEntry {
         "SELECT p.event_id, p.user_id, p.ts, COUNT(v.vsec) AS n_within " +
         "FROM p LEFT JOIN v ON v.vu = p.user_id AND abs(p.tsec - v.vsec) <= 600 " +
         "GROUP BY 1, 2, 3 ORDER BY 1"),
+    // pipe3 replay: the extracted `t` equals the template's text field, so
+    // the oracle replays the downstream curation directly over `text` —
+    // any engine extraction/JSON-escaping infidelity breaks the hash
+    "pipe3_extract_quality_dedup" ->
+      ("WITH surv AS (SELECT doc_id, lang, text FROM (SELECT doc_id, lang, text, " +
+        "MIN(doc_id) OVER (PARTITION BY text) AS m FROM documents) WHERE doc_id = m) " +
+        "SELECT lang, count(*) AS n_docs, " +
+        "CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens " +
+        "FROM surv WHERE len(string_split(text, ' ')) >= 20 GROUP BY 1 ORDER BY 1"),
     "q11_quantiles" ->
       ("SELECT source, CAST(round(quantile_cont(n_chars, 0.5) * 10) AS BIGINT) AS p50_x10, " +
         "CAST(round(quantile_cont(n_chars, 0.9) * 10) AS BIGINT) AS p90_x10, " +

@@ -394,6 +394,26 @@ class SparkSpec extends AnyFunSuite {
     assert(ivf.contains(0L)) // the query vector itself must be found
   }
 
+  test("as-of join on a pathologically hot key stays a window pass, not a pair blowup") {
+    import graft.pipeline.Relational
+    // ONE user with 30k alternating view/click events: a naive ranged
+    // self-join would materialize ~1.1e8 pairs before keep-latest; the
+    // union+window shape does one sort. Latest view before click i is
+    // always event i-1, which also pins the tie/order semantics.
+    val n = 30000
+    val rows = (0 until n).map { i =>
+      (i.toLong, 1L, new java.sql.Timestamp(i * 1000L), if (i % 2 == 0) "view" else "click")
+    }
+    val ev = rows.toDF("event_id", "user_id", "ts", "event_type")
+    val clicks = ev.where($"event_type" === "click").select($"event_id", $"user_id", $"ts")
+    val views = ev.where($"event_type" === "view").select($"user_id", $"ts", $"event_id")
+    val out = Relational.asofJoin(clicks, views, "user_id", "ts",
+        org.apache.spark.sql.functions.struct($"event_id".as("vid")))
+      .select($"event_id", $"asof.vid".as("vid")).collect()
+    assert(out.length == n / 2)
+    assert(out.forall(r => r.getLong(1) == r.getLong(0) - 1))
+  }
+
   test("salted repartition (skew handling) preserves results exactly") {
     val docs = Corpus.generate(spark, 300, 2, megaEvery = 50) // 6 mega-docs
     val direct = ShadowSpark.process(docs, program).collect().sortBy(_.doc_id).toSeq
