@@ -729,6 +729,34 @@ object SparkEntry {
       Multimodal.routeAndParse(media).orderBy("doc_id")
     }),
 
+    // mm3: audio/video branch — WAV (RIFF fmt/data chunk walk: sample
+    // rate, channels, PCM duration) and MP4 (ISO-BMFF box walk to
+    // moov/mvhd: timescale+duration); synth -> parse through the real
+    // byte layouts, oracle replays the synthesis arithmetic
+    "mm3_av_meta" -> ((s, dir) => {
+      import s.implicits._
+      documents(s, dir).select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions { it =>
+          it.map { case (id, text) =>
+            val payload = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            val n = payload.length
+            val (ref, content) =
+              if (id % 2 == 0)
+                (s"media://$id.wav",
+                  graft.pipeline.MediaCodec.buildWav(8000 + (n % 8) * 1000, 1 + n % 2, payload))
+              else
+                (s"media://$id.mp4",
+                  graft.pipeline.MediaCodec.buildMp4(1000, (n % 100000).toLong, payload))
+            val info = graft.pipeline.MediaCodec.parse(content)
+              .getOrElse(graft.pipeline.MediaCodec.MediaInfo("unknown", 0, 0, 0))
+            (id, ref, info.format, content.length.toLong,
+              info.sampleRate, info.channels, info.durationMs)
+          }
+        }.toDF("doc_id", "media_ref", "format", "n_bytes",
+          "sample_rate", "channels", "duration_ms")
+        .orderBy("doc_id")
+    }),
+
     // ---- boilerplate main-content extraction (north-star branch) ----
     "bp1_main_content" -> ((s, dir) => {
       import s.implicits._
@@ -1225,6 +1253,21 @@ object SparkEntry {
         "CAST(CASE WHEN doc_id % 3 = 0 THEN 0 ELSE 16 + octet_length(encode(text)) % 64 END AS INT) AS width, " +
         "CAST(CASE WHEN doc_id % 3 = 0 THEN 0 ELSE 16 + octet_length(encode(text)) % 48 END AS INT) AS height " +
         "FROM documents ORDER BY 1"),
+    // audio/video replay: WAV duration = data bytes over byte rate
+    // (sampleRate * channels * 2 for 16-bit PCM), floor; MP4 duration =
+    // mvhd duration over timescale 1000; container overheads exact
+    // (44 B WAV, 144 B ftyp+moov/mvhd+mdat)
+    "mm3_av_meta" ->
+      ("WITH m AS (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n FROM documents) " +
+        "SELECT doc_id, " +
+        "'media://' || CAST(doc_id AS VARCHAR) || CASE WHEN doc_id % 2 = 0 THEN '.wav' ELSE '.mp4' END AS media_ref, " +
+        "CASE WHEN doc_id % 2 = 0 THEN 'wav' ELSE 'mp4' END AS format, " +
+        "CAST(CASE WHEN doc_id % 2 = 0 THEN 44 + n ELSE 144 + n END AS BIGINT) AS n_bytes, " +
+        "CAST(CASE WHEN doc_id % 2 = 0 THEN 8000 + (n % 8) * 1000 ELSE 0 END AS INT) AS sample_rate, " +
+        "CAST(CASE WHEN doc_id % 2 = 0 THEN 1 + n % 2 ELSE 0 END AS INT) AS channels, " +
+        "CAST(CASE WHEN doc_id % 2 = 0 THEN n * 1000 // ((8000 + (n % 8) * 1000) * (1 + n % 2) * 2) " +
+        "ELSE n % 100000 END AS BIGINT) AS duration_ms " +
+        "FROM m ORDER BY doc_id"),
     // real-container replay: format/dims from the synthesis formulas, and
     // n_bytes = payload + the EXACT container overhead (PNG sig+IHDR+IDAT+
     // IEND framing; GIF header/LSD + comment sub-block length bytes; JPEG

@@ -30,8 +30,10 @@ import java.util.zip.CRC32
 object MediaCodec {
 
   /** Header-level metadata: width/height for raster images (0 for PDF),
-    * nPages for PDF (0 for images). */
-  final case class MediaInfo(format: String, width: Int, height: Int, nPages: Int)
+    * nPages for PDF (0 for images); sampleRate/channels/durationMs for
+    * audio (WAV) and durationMs for video (MP4), 0 elsewhere. */
+  final case class MediaInfo(format: String, width: Int, height: Int, nPages: Int,
+                             sampleRate: Int = 0, channels: Int = 0, durationMs: Long = 0)
 
   // ------------------------------------------------------------- helpers
 
@@ -155,6 +157,59 @@ object MediaCodec {
     out.toByteArray
   }
 
+  /** PCM WAV (RIFF) with `payload` as the data chunk: 12-byte RIFF/WAVE
+    * header + 24-byte fmt chunk + 8-byte data chunk header = 44 bytes of
+    * container (the canonical WAV overhead). 16-bit PCM. */
+  def wavBytes(n: Long): Long = 44 + n
+  def buildWav(sampleRate: Int, channels: Int, payload: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(payload.length + 48)
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >>> 8) & 0xff) }
+    def le32(v: Long): Unit = {
+      out.write((v & 0xff).toInt); out.write(((v >>> 8) & 0xff).toInt)
+      out.write(((v >>> 16) & 0xff).toInt); out.write(((v >>> 24) & 0xff).toInt)
+    }
+    out.write("RIFF".getBytes(US_ASCII), 0, 4)
+    le32(36L + payload.length)
+    out.write("WAVE".getBytes(US_ASCII), 0, 4)
+    out.write("fmt ".getBytes(US_ASCII), 0, 4)
+    le32(16) // PCM fmt chunk size
+    le16(1) // audio format: PCM
+    le16(channels)
+    le32(sampleRate.toLong)
+    le32(sampleRate.toLong * channels * 2) // byte rate, 16-bit samples
+    le16(channels * 2) // block align
+    le16(16) // bits per sample
+    out.write("data".getBytes(US_ASCII), 0, 4)
+    le32(payload.length.toLong)
+    out.write(payload, 0, payload.length)
+    out.toByteArray
+  }
+
+  /** Minimal ISO-BMFF MP4: ftyp box (20 B) + moov box holding one mvhd
+    * full box (116 B) + mdat box with `payload` (8 B header) = 144 bytes
+    * of container. The mvhd carries timescale + duration (version 0
+    * layout, ISO/IEC 14496-12 §8.2.2). */
+  def mp4Bytes(n: Long): Long = 144 + n
+  def buildMp4(timescale: Int, duration: Long, payload: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(payload.length + 160)
+    def box(typ: String, body: Array[Byte]): Unit = {
+      be32(out, 8L + body.length)
+      out.write(typ.getBytes(US_ASCII), 0, 4)
+      out.write(body, 0, body.length)
+    }
+    box("ftyp", "isom".getBytes(US_ASCII) ++ Array[Byte](0, 0, 0, 0) ++ "isom".getBytes(US_ASCII))
+    val mvhdBody = new Array[Byte](100) // version 0: ver/flags, ctime, mtime, timescale, duration, ...
+    mvhdBody(12) = (timescale >>> 24).toByte; mvhdBody(13) = (timescale >>> 16).toByte
+    mvhdBody(14) = (timescale >>> 8).toByte; mvhdBody(15) = timescale.toByte
+    mvhdBody(16) = (duration >>> 24).toByte; mvhdBody(17) = (duration >>> 16).toByte
+    mvhdBody(18) = (duration >>> 8).toByte; mvhdBody(19) = duration.toByte
+    val mvhd = new ByteArrayOutputStream(112)
+    be32(mvhd, 108L); mvhd.write("mvhd".getBytes(US_ASCII), 0, 4); mvhd.write(mvhdBody, 0, 100)
+    box("moov", mvhd.toByteArray)
+    box("mdat", payload)
+    out.toByteArray
+  }
+
   // -------------------------------------------------------------- parsers
 
   /** Sniff the magic and parse header metadata; None when the bytes are
@@ -169,7 +224,68 @@ object MediaCodec {
       (b(2) & 0xff) == 0xff) parseJpeg(b)
     else if (b.length >= 5 && b(0) == '%' && b(1) == 'P' && b(2) == 'D' &&
       b(3) == 'F' && b(4) == '-') parsePdf(b)
+    else if (b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
+      b(3) == 'F' && b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E') parseWav(b)
+    else if (b.length >= 12 && b(4) == 'f' && b(5) == 't' && b(6) == 'y' &&
+      b(7) == 'p') parseMp4(b)
     else None
+  }
+
+  private def rdLe32(b: Array[Byte], i: Int): Long =
+    (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+      ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+
+  private def parseWav(b: Array[Byte]): Option[MediaInfo] = {
+    var i = 12
+    var channels = 0; var sampleRate = 0; var byteRate = 0L
+    var dataLen = -1L; var haveFmt = false
+    while (i + 8 <= b.length) {
+      val size = rdLe32(b, i + 4)
+      val body = i + 8
+      if (b(i) == 'f' && b(i + 1) == 'm' && b(i + 2) == 't' && b(i + 3) == ' ') {
+        if (size < 16 || body + 16 > b.length) return None
+        if (rdLe16(b, body) != 1) return None // PCM only
+        channels = rdLe16(b, body + 2)
+        sampleRate = rdLe32(b, body + 4).toInt
+        byteRate = rdLe32(b, body + 8)
+        haveFmt = true
+      } else if (b(i) == 'd' && b(i + 1) == 'a' && b(i + 2) == 't' && b(i + 3) == 'a') {
+        dataLen = size
+      }
+      i = body + size.toInt + (size.toInt & 1) // chunks pad to even
+    }
+    if (!haveFmt || dataLen < 0 || byteRate <= 0) None
+    else Some(MediaInfo("wav", 0, 0, 0, sampleRate, channels, dataLen * 1000L / byteRate))
+  }
+
+  private def parseMp4(b: Array[Byte]): Option[MediaInfo] = {
+    // walk the top-level boxes for moov, then its children for mvhd
+    var i = 0
+    while (i + 8 <= b.length) {
+      val size = rdBe32(b, i)
+      if (size < 8 || i + size > b.length) return None
+      if (b(i + 4) == 'm' && b(i + 5) == 'o' && b(i + 6) == 'o' && b(i + 7) == 'v') {
+        var j = i + 8
+        val end = i + size.toInt
+        while (j + 8 <= end) {
+          val cs = rdBe32(b, j)
+          if (cs < 8 || j + cs > end) return None
+          if (b(j + 4) == 'm' && b(j + 5) == 'v' && b(j + 6) == 'h' && b(j + 7) == 'd') {
+            val body = j + 8
+            if (b(body) != 0) return None // mvhd version 1 (64-bit) not synthesized
+            if (body + 20 > end) return None
+            val timescale = rdBe32(b, body + 12)
+            val duration = rdBe32(b, body + 16)
+            if (timescale <= 0) return None
+            return Some(MediaInfo("mp4", 0, 0, 0, 0, 0, duration * 1000L / timescale))
+          }
+          j += cs.toInt
+        }
+        return None
+      }
+      i += size.toInt
+    }
+    None
   }
 
   private def parsePng(b: Array[Byte]): Option[MediaInfo] = {

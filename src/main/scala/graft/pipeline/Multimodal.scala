@@ -98,8 +98,8 @@ object Multimodal {
     media.as[MediaRow].mapPartitions { it =>
       it.map { r =>
         MediaCodec.parse(r.content) match {
-          case Some(MediaCodec.MediaInfo("pdf", _, _, pages)) =>
-            RoutedMeta(r.doc_id, r.media_ref, "pdf_layout", pages, 0, 0)
+          case Some(info) if info.format == "pdf" =>
+            RoutedMeta(r.doc_id, r.media_ref, "pdf_layout", info.nPages, 0, 0)
           case Some(info) =>
             RoutedMeta(r.doc_id, r.media_ref, "image", 0, info.width, info.height)
           case None =>

@@ -74,6 +74,54 @@ class MediaSpec extends AnyFunSuite {
     assert(MediaCodec.parse("%PDF-1.7\nno pages here".getBytes(US_ASCII)).isEmpty)
   }
 
+  test("WAV: hand-assembled canonical 44-byte header parses (8 kHz mono, 1 s)") {
+    val out = new java.io.ByteArrayOutputStream()
+    def s(x: String): Unit = out.write(x.getBytes(US_ASCII), 0, 4)
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >>> 8) & 0xff) }
+    def le32(v: Int): Unit = { le16(v & 0xffff); le16((v >>> 16) & 0xffff) }
+    val dataLen = 16000 // 1 s at 8000 Hz * 1 ch * 2 B
+    s("RIFF"); le32(36 + dataLen); s("WAVE")
+    s("fmt "); le32(16); le16(1); le16(1); le32(8000); le32(16000); le16(2); le16(16)
+    s("data"); le32(dataLen)
+    out.write(new Array[Byte](dataLen), 0, dataLen)
+    assert(MediaCodec.parse(out.toByteArray)
+      .contains(MediaInfo("wav", 0, 0, 0, 8000, 1, 1000L)))
+  }
+
+  test("MP4: hand-assembled ftyp + moov/mvhd parses (timescale 600, 2 s)") {
+    val out = new java.io.ByteArrayOutputStream()
+    def be32(v: Int): Unit = {
+      out.write(v >>> 24); out.write((v >>> 16) & 0xff); out.write((v >>> 8) & 0xff); out.write(v & 0xff)
+    }
+    def s4(x: String): Unit = out.write(x.getBytes(US_ASCII), 0, 4)
+    be32(16); s4("ftyp"); s4("mp42"); be32(0) // ftyp: brand + minor only
+    be32(8 + 108); s4("moov")
+    be32(108); s4("mvhd")
+    val body = new Array[Byte](100)
+    body(14) = 2; body(15) = 88 // timescale 600 big-endian
+    body(18) = 4; body(19) = 176.toByte // duration 1200 big-endian
+    out.write(body, 0, 100)
+    assert(MediaCodec.parse(out.toByteArray)
+      .contains(MediaInfo("mp4", 0, 0, 0, 0, 0, 2000L)))
+  }
+
+  test("WAV/MP4 synth -> parse round-trips; truncation rejected") {
+    for (n <- Seq(0, 1, 255, 4096, 70001)) {
+      val payload = Array.tabulate(n)(i => (i * 13 + 5).toByte)
+      val rate = 8000 + (n % 8) * 1000; val ch = 1 + n % 2
+      val wav = MediaCodec.buildWav(rate, ch, payload)
+      assert(wav.length.toLong == MediaCodec.wavBytes(n.toLong), s"wav n=$n")
+      assert(MediaCodec.parse(wav).contains(
+        MediaInfo("wav", 0, 0, 0, rate, ch, n.toLong * 1000 / (rate.toLong * ch * 2))), s"wav n=$n")
+      val mp4 = MediaCodec.buildMp4(1000, (n % 100000).toLong, payload)
+      assert(mp4.length.toLong == MediaCodec.mp4Bytes(n.toLong), s"mp4 n=$n")
+      assert(MediaCodec.parse(mp4).contains(
+        MediaInfo("mp4", 0, 0, 0, 0, 0, (n % 100000).toLong)), s"mp4 n=$n")
+    }
+    assert(MediaCodec.parse(MediaCodec.buildWav(8000, 1, new Array[Byte](100)).take(30)).isEmpty)
+    assert(MediaCodec.parse(MediaCodec.buildMp4(1000, 5L, new Array[Byte](100)).take(30)).isEmpty)
+  }
+
   // ---- builder -> parser round-trips across payload boundaries ----
 
   test("synth -> parse round-trips dims through the real byte layout") {
