@@ -241,6 +241,10 @@ object MediaCodec {
     var dataLen = -1L; var haveFmt = false
     while (i + 8 <= b.length) {
       val size = rdLe32(b, i + 4)
+      // a chunk longer than the file is corrupt; also keeps size.toInt from
+      // overflowing negative (rdLe32 can claim up to 4 GB), which would
+      // walk the cursor backwards into an infinite loop
+      if (size > b.length) return None
       val body = i + 8
       if (b(i) == 'f' && b(i + 1) == 'm' && b(i + 2) == 't' && b(i + 3) == ' ') {
         if (size < 16 || body + 16 > b.length) return None

@@ -120,6 +120,12 @@ class MediaSpec extends AnyFunSuite {
     }
     assert(MediaCodec.parse(MediaCodec.buildWav(8000, 1, new Array[Byte](100)).take(30)).isEmpty)
     assert(MediaCodec.parse(MediaCodec.buildMp4(1000, 5L, new Array[Byte](100)).take(30)).isEmpty)
+    // corrupt chunk size claiming ~4 GB must be rejected, not walk the
+    // cursor backwards (Int overflow) into an infinite loop
+    val evil = MediaCodec.buildWav(8000, 1, new Array[Byte](64))
+    evil(16) = 0xff.toByte; evil(17) = 0xff.toByte
+    evil(18) = 0xff.toByte; evil(19) = 0xf0.toByte // fmt size = 0xf0ffffff
+    assert(MediaCodec.parse(evil).isEmpty)
   }
 
   // ---- builder -> parser round-trips across payload boundaries ----
