@@ -712,20 +712,14 @@ object SparkEntry {
     // real page-tree /Count = 1 + n % 5) to the layout branch, JPEGs to the
     // image dimension parse
     "mm2_pdf_layout_route" -> ((s, dir) => {
-      import s.implicits._
-      val media = documents(s, dir).select(col("doc_id"), col("text")).as[(Long, String)]
-        .mapPartitions { it =>
-          it.map { case (id, text) =>
-            val payload = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-            val n = payload.length
-            if (id % 3 == 0)
-              graft.pipeline.Multimodal.MediaRow(id, s"media://$id.pdf",
-                graft.pipeline.MediaCodec.buildPdf(1 + n % 5, payload))
-            else
-              graft.pipeline.Multimodal.MediaRow(id, s"media://$id.jpg",
-                graft.pipeline.MediaCodec.buildJpeg(16 + n % 64, 16 + n % 48, payload))
-          }
-        }.toDF()
+      val media = Multimodal.synthTable(documents(s, dir)) { (id, payload) =>
+        val n = payload.length
+        if (id % 3 == 0)
+          (s"media://$id.pdf", graft.pipeline.MediaCodec.buildPdf(1 + n % 5, payload))
+        else
+          (s"media://$id.jpg",
+            graft.pipeline.MediaCodec.buildJpeg(16 + n % 64, 16 + n % 48, payload))
+      }
       Multimodal.routeAndParse(media).orderBy("doc_id")
     }),
 
@@ -735,24 +729,23 @@ object SparkEntry {
     // byte layouts, oracle replays the synthesis arithmetic
     "mm3_av_meta" -> ((s, dir) => {
       import s.implicits._
-      documents(s, dir).select(col("doc_id"), col("text")).as[(Long, String)]
-        .mapPartitions { it =>
-          it.map { case (id, text) =>
-            val payload = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-            val n = payload.length
-            val (ref, content) =
-              if (id % 2 == 0)
-                (s"media://$id.wav",
-                  graft.pipeline.MediaCodec.buildWav(8000 + (n % 8) * 1000, 1 + n % 2, payload))
-              else
-                (s"media://$id.mp4",
-                  graft.pipeline.MediaCodec.buildMp4(1000, (n % 100000).toLong, payload))
-            val info = graft.pipeline.MediaCodec.parse(content)
-              .getOrElse(graft.pipeline.MediaCodec.MediaInfo("unknown", 0, 0, 0))
-            (id, ref, info.format, content.length.toLong,
-              info.sampleRate, info.channels, info.durationMs)
-          }
-        }.toDF("doc_id", "media_ref", "format", "n_bytes",
+      val media = Multimodal.synthTable(documents(s, dir)) { (id, payload) =>
+        val n = payload.length
+        if (id % 2 == 0)
+          (s"media://$id.wav",
+            graft.pipeline.MediaCodec.buildWav(8000 + (n % 8) * 1000, 1 + n % 2, payload))
+        else
+          (s"media://$id.mp4",
+            graft.pipeline.MediaCodec.buildMp4(1000, (n % 100000).toLong, payload))
+      }
+      media.as[graft.pipeline.Multimodal.MediaRow].mapPartitions { it =>
+        it.map { r =>
+          val info = graft.pipeline.MediaCodec.parse(r.content)
+            .getOrElse(graft.pipeline.MediaCodec.MediaInfo("unknown", 0, 0, 0))
+          (r.doc_id, r.media_ref, info.format, r.content.length.toLong,
+            info.sampleRate, info.channels, info.durationMs)
+        }
+      }.toDF("doc_id", "media_ref", "format", "n_bytes",
           "sample_rate", "channels", "duration_ms")
         .orderBy("doc_id")
     }),

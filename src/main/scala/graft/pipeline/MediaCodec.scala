@@ -241,11 +241,11 @@ object MediaCodec {
     var dataLen = -1L; var haveFmt = false
     while (i + 8 <= b.length) {
       val size = rdLe32(b, i + 4)
-      // a chunk longer than the file is corrupt; also keeps size.toInt from
-      // overflowing negative (rdLe32 can claim up to 4 GB), which would
-      // walk the cursor backwards into an infinite loop
-      if (size > b.length) return None
       val body = i + 8
+      // a chunk extending past the file is corrupt/truncated (this also
+      // keeps size.toInt from overflowing negative — rdLe32 can claim up
+      // to 4 GB — which would walk the cursor backwards forever)
+      if (body + size > b.length) return None
       if (b(i) == 'f' && b(i + 1) == 'm' && b(i + 2) == 't' && b(i + 3) == ' ') {
         if (size < 16 || body + 16 > b.length) return None
         if (rdLe16(b, body) != 1) return None // PCM only
@@ -276,8 +276,8 @@ object MediaCodec {
           if (cs < 8 || j + cs > end) return None
           if (b(j + 4) == 'm' && b(j + 5) == 'v' && b(j + 6) == 'h' && b(j + 7) == 'd') {
             val body = j + 8
+            if (body + 20 > end) return None // bounds BEFORE the version read
             if (b(body) != 0) return None // mvhd version 1 (64-bit) not synthesized
-            if (body + 20 > end) return None
             val timescale = rdBe32(b, body + 12)
             val duration = rdBe32(b, body + 16)
             if (timescale <= 0) return None

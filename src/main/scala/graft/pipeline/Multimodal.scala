@@ -43,22 +43,31 @@ object Multimodal {
     feat
   }
 
+  /** Shared synth plumbing: one media row per doc, content built by `f`
+    * from (doc_id, UTF-8 payload) -> (media_ref, container bytes). The
+    * mm1/mm2/mm3 queries parameterize this with different builders. */
+  def synthTable(docs: DataFrame)(f: (Long, Array[Byte]) => (String, Array[Byte])): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)].mapPartitions { it =>
+      it.map { case (id, text) =>
+        val (ref, content) = f(id, text.getBytes(UTF_8))
+        MediaRow(id, ref, content)
+      }
+    }.toDF()
+  }
+
   /** Synthesize a media table from `documents`: each doc's UTF-8 text
     * bytes become the payload of a REAL container (png/gif/jpeg by
     * doc_id % 3, dims = (16 + n % 64, 16 + n % 48)) so the decode step
     * round-trips through the actual byte layout. Deterministic, and the
     * container overhead is exact arithmetic (MediaCodec.pngBytes etc.)
     * so the oracle replays n_bytes too. */
-  def mediaTable(docs: DataFrame): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    docs.select(col("doc_id"), col("text")).as[(Long, String)].mapPartitions { it =>
-      it.map { case (id, text) =>
-        val (fmt, content) = MediaCodec.synthImage(id, text.getBytes(UTF_8))
-        MediaRow(id, s"media://$id.$fmt", content)
-      }
-    }.toDF()
-  }
+  def mediaTable(docs: DataFrame): DataFrame =
+    synthTable(docs) { (id, payload) =>
+      val (fmt, content) = MediaCodec.synthImage(id, payload)
+      (s"media://$id.$fmt", content)
+    }
 
   /** Batched per-partition header decode (one task-local pass; rows
     * stream through — the Spark analogue of mapInPandas batches).

@@ -152,9 +152,21 @@ object Dedup {
     // session) and the label table is tiny (2 longs/doc), so the per-
     // iteration write is cheap relative to the join it anchors.
     val spark = pairs.sparkSession
-    if (spark.sparkContext.getCheckpointDir.isEmpty)
-      spark.sparkContext.setCheckpointDir(
-        java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
+    if (spark.sparkContext.getCheckpointDir.isEmpty) {
+      // only default to a driver-local temp dir in LOCAL mode; on a real
+      // cluster a machine-private /tmp would be unreadable by the other
+      // executors — exactly the failure this operator exists to avoid —
+      // so demand an explicit shared-storage dir instead of guessing.
+      // Checkpoint files live for the app's lifetime (clean via storage
+      // lifecycle policy, or spark.cleaner.referenceTracking
+      // .cleanCheckpoints at session build).
+      if (spark.sparkContext.isLocal)
+        spark.sparkContext.setCheckpointDir(
+          java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
+      else throw new IllegalStateException(
+        "connectedComponents needs a reliable checkpoint dir on SHARED storage: " +
+          "call sparkContext.setCheckpointDir(<hdfs/s3 path>) before running on a cluster")
+    }
     // materialize the edge list once (checkpoint cuts the lineage so the
     // sketch pipeline upstream is never recomputed per iteration)
     val edges = pairs.select(col("id1").as("a"), col("id2").as("b"))

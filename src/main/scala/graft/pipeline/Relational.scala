@@ -70,6 +70,12 @@ object Relational {
     * transform) so the shuffle co-locates; the per-key window sort covers
     * base+changes rows of that key only, O(k log k), spillable. */
   def mergeUpsert(base: DataFrame, changes: DataFrame, key: String): DataFrame = {
+    // the helper claims these two names for the merge protocol; a base
+    // table that already owns them would be silently clobbered AND lose
+    // the column in the output — fail loudly instead
+    require(!base.columns.contains("version") && !base.columns.contains("op"),
+      "mergeUpsert: base table must not have 'version'/'op' columns " +
+        "(they carry the merge protocol; rename them first)")
     val b = base.withColumn("version", lit(0L)).withColumn("op", lit("upsert"))
     val u = b.unionByName(changes.select(b.columns.map(col): _*))
     val w = Window.partitionBy(col(key)).orderBy(col("version").desc, col("op"))

@@ -126,6 +126,19 @@ class MediaSpec extends AnyFunSuite {
     evil(16) = 0xff.toByte; evil(17) = 0xff.toByte
     evil(18) = 0xff.toByte; evil(19) = 0xf0.toByte // fmt size = 0xf0ffffff
     assert(MediaCodec.parse(evil).isEmpty)
+    // WAV truncated MID-DATA: the data chunk claims more bytes than exist
+    // -> rejected, never an overstated duration from the header claim
+    val full = MediaCodec.buildWav(8000, 1, new Array[Byte](100)) // 144 B
+    assert(MediaCodec.parse(full.take(100)).isEmpty)
+    // MP4 whose moov's only child is a BARE 8-byte mvhd ending at EOF:
+    // bounds must be checked before the version-byte read (was an AIOOBE)
+    val bare = new java.io.ByteArrayOutputStream()
+    def wbe32(v: Int): Unit = { bare.write(v >>> 24); bare.write((v >>> 16) & 0xff)
+      bare.write((v >>> 8) & 0xff); bare.write(v & 0xff) }
+    wbe32(16); bare.write("ftypisom".getBytes(US_ASCII), 0, 8); wbe32(0)
+    wbe32(16); bare.write("moov".getBytes(US_ASCII), 0, 4)
+    wbe32(8); bare.write("mvhd".getBytes(US_ASCII), 0, 4)
+    assert(MediaCodec.parse(bare.toByteArray).isEmpty)
   }
 
   // ---- builder -> parser round-trips across payload boundaries ----
