@@ -674,8 +674,12 @@ object SparkEntry {
       val updates = docs.where(pmod(col("doc_id"), lit(7)) === 1)
         .select(col("doc_id"), lit(1L).as("version"), lit("upsert").as("op"),
           col("source"), (col("n_chars") + 1000L).as("n_chars"))
+      // insert keys = -(doc_id + 1): base doc_ids are non-negative at every
+      // sf, so the synthesized inserts can never collide with a base key
+      // (a fixed +offset would collide once the corpus crossed the offset,
+      // silently diverging from the oracle's UNION ALL replay)
       val inserts = docs.where(pmod(col("doc_id"), lit(11)) === 0)
-        .select((col("doc_id") + 1000000L).as("doc_id"), lit(1L).as("version"),
+        .select((-col("doc_id") - 1L).as("doc_id"), lit(1L).as("version"),
           lit("upsert").as("op"), col("source"), col("n_chars"))
       graft.pipeline.Relational.mergeUpsert(docs,
           deletes.unionByName(updates).unionByName(inserts), "doc_id")
@@ -708,24 +712,35 @@ object SparkEntry {
     // hash-mismatches
     "mm1_media_meta" -> ((s, dir) =>
       Multimodal.metaForOracle(Multimodal.mediaTable(documents(s, dir))).orderBy("doc_id")),
-    // mm2: media-branch routing on container magic — PDFs (doc_id % 3 = 0,
-    // real page-tree /Count = 1 + n % 5) to the layout branch, JPEGs to the
-    // image dimension parse
+    // mm2: media-branch routing on container magic — all four branches
+    // exercised: PDFs (doc_id % 4 = 0, real page-tree /Count = 1 + n % 5)
+    // to the layout branch, JPEGs (% 4 = 1) to the image dimension parse,
+    // WAVs (% 4 = 2) to the AV branch, raw payload bytes (% 4 = 3) to
+    // passthrough
     "mm2_pdf_layout_route" -> ((s, dir) => {
       val media = Multimodal.synthTable(documents(s, dir)) { (id, payload) =>
         val n = payload.length
-        if (id % 3 == 0)
-          (s"media://$id.pdf", graft.pipeline.MediaCodec.buildPdf(1 + n % 5, payload))
-        else
-          (s"media://$id.jpg",
-            graft.pipeline.MediaCodec.buildJpeg(16 + n % 64, 16 + n % 48, payload))
+        (id % 4) match {
+          case 0 =>
+            (s"media://$id.pdf", graft.pipeline.MediaCodec.buildPdf(1 + n % 5, payload))
+          case 1 =>
+            (s"media://$id.jpg",
+              graft.pipeline.MediaCodec.buildJpeg(16 + n % 64, 16 + n % 48, payload))
+          case 2 =>
+            (s"media://$id.wav",
+              graft.pipeline.MediaCodec.buildWav(8000 + (n % 8) * 1000, 1 + n % 2, payload))
+          case _ =>
+            (s"media://$id.bin", payload)
+        }
       }
       Multimodal.routeAndParse(media).orderBy("doc_id")
     }),
 
     // mm3: audio/video branch — WAV (RIFF fmt/data chunk walk: sample
     // rate, channels, PCM duration) and MP4 (ISO-BMFF box walk to
-    // moov/mvhd: timescale+duration); synth -> parse through the real
+    // moov/mvhd — BOTH mvhd versions: v0 32-bit times for doc_id % 4 = 1,
+    // v1 64-bit times for % 4 = 3 with a duration past 2^32 so the
+    // 64-bit read is actually proven); synth -> parse through the real
     // byte layouts, oracle replays the synthesis arithmetic
     "mm3_av_meta" -> ((s, dir) => {
       import s.implicits._
@@ -734,9 +749,12 @@ object SparkEntry {
         if (id % 2 == 0)
           (s"media://$id.wav",
             graft.pipeline.MediaCodec.buildWav(8000 + (n % 8) * 1000, 1 + n % 2, payload))
-        else
+        else if (id % 4 == 1)
           (s"media://$id.mp4",
             graft.pipeline.MediaCodec.buildMp4(1000, (n % 100000).toLong, payload))
+        else
+          (s"media://$id.mp4",
+            graft.pipeline.MediaCodec.buildMp4(1000, (1L << 32) + n, payload, version = 1))
       }
       media.as[graft.pipeline.Multimodal.MediaRow].mapPartitions { it =>
         it.map { r =>
@@ -1096,11 +1114,11 @@ object SparkEntry {
         "CAST(round(quantile_cont(n_chars, 0.9) * 10) AS BIGINT) AS p90_x10, " +
         "count(*) AS n FROM documents GROUP BY 1 ORDER BY 1"),
     // merge replay: survivors = base minus deleted/updated keys, plus the
-    // updated payloads, plus the inserts under shifted keys
+    // updated payloads, plus the inserts under negated (collision-free) keys
     "cdc1_merge_upsert" ->
       ("SELECT doc_id, source, n_chars FROM documents WHERE doc_id % 7 <> 0 AND doc_id % 7 <> 1 " +
         "UNION ALL SELECT doc_id, source, n_chars + 1000 FROM documents WHERE doc_id % 7 = 1 " +
-        "UNION ALL SELECT doc_id + 1000000, source, n_chars FROM documents WHERE doc_id % 11 = 0 " +
+        "UNION ALL SELECT -doc_id - 1, source, n_chars FROM documents WHERE doc_id % 11 = 0 " +
         "ORDER BY doc_id"),
     "web1_domain_cap" ->
       ("SELECT doc_id, source, n_chars, rank FROM (" +
@@ -1239,27 +1257,32 @@ object SparkEntry {
         "FROM (SELECT doc_id, text, lang, source, len(string_split(text, ' ')) AS w FROM documents) " +
         "ORDER BY doc_id"),
     "mm2_pdf_layout_route" ->
-      ("SELECT doc_id, 'media://' || CAST(doc_id AS VARCHAR) || " +
-        "CASE WHEN doc_id % 3 = 0 THEN '.pdf' ELSE '.jpg' END AS media_ref, " +
-        "CASE WHEN doc_id % 3 = 0 THEN 'pdf_layout' ELSE 'image' END AS branch, " +
-        "CAST(CASE WHEN doc_id % 3 = 0 THEN 1 + octet_length(encode(text)) % 5 ELSE 0 END AS INT) AS n_pages, " +
-        "CAST(CASE WHEN doc_id % 3 = 0 THEN 0 ELSE 16 + octet_length(encode(text)) % 64 END AS INT) AS width, " +
-        "CAST(CASE WHEN doc_id % 3 = 0 THEN 0 ELSE 16 + octet_length(encode(text)) % 48 END AS INT) AS height " +
-        "FROM documents ORDER BY 1"),
+      ("WITH m AS (SELECT doc_id, CAST(doc_id % 4 AS INT) AS f, " +
+        "octet_length(encode(text)) AS n FROM documents) " +
+        "SELECT doc_id, 'media://' || CAST(doc_id AS VARCHAR) || " +
+        "CASE f WHEN 0 THEN '.pdf' WHEN 1 THEN '.jpg' WHEN 2 THEN '.wav' ELSE '.bin' END AS media_ref, " +
+        "CASE f WHEN 0 THEN 'pdf_layout' WHEN 1 THEN 'image' WHEN 2 THEN 'av' ELSE 'passthrough' END AS branch, " +
+        "CAST(CASE WHEN f = 0 THEN 1 + n % 5 ELSE 0 END AS INT) AS n_pages, " +
+        "CAST(CASE WHEN f = 1 THEN 16 + n % 64 ELSE 0 END AS INT) AS width, " +
+        "CAST(CASE WHEN f = 1 THEN 16 + n % 48 ELSE 0 END AS INT) AS height " +
+        "FROM m ORDER BY 1"),
     // audio/video replay: WAV duration = data bytes over byte rate
     // (sampleRate * channels * 2 for 16-bit PCM), floor; MP4 duration =
-    // mvhd duration over timescale 1000; container overheads exact
-    // (44 B WAV, 144 B ftyp+moov/mvhd+mdat)
+    // mvhd duration over timescale 1000 (v0 for doc_id % 4 = 1; v1 with
+    // duration 2^32 + n for % 4 = 3 — the value only a correct 64-bit
+    // read produces); container overheads exact (44 B WAV, 144 B v0 /
+    // 156 B v1 ftyp+moov/mvhd+mdat)
     "mm3_av_meta" ->
       ("WITH m AS (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n FROM documents) " +
         "SELECT doc_id, " +
         "'media://' || CAST(doc_id AS VARCHAR) || CASE WHEN doc_id % 2 = 0 THEN '.wav' ELSE '.mp4' END AS media_ref, " +
         "CASE WHEN doc_id % 2 = 0 THEN 'wav' ELSE 'mp4' END AS format, " +
-        "CAST(CASE WHEN doc_id % 2 = 0 THEN 44 + n ELSE 144 + n END AS BIGINT) AS n_bytes, " +
+        "CAST(CASE WHEN doc_id % 2 = 0 THEN 44 + n " +
+        "WHEN doc_id % 4 = 1 THEN 144 + n ELSE 156 + n END AS BIGINT) AS n_bytes, " +
         "CAST(CASE WHEN doc_id % 2 = 0 THEN 8000 + (n % 8) * 1000 ELSE 0 END AS INT) AS sample_rate, " +
         "CAST(CASE WHEN doc_id % 2 = 0 THEN 1 + n % 2 ELSE 0 END AS INT) AS channels, " +
         "CAST(CASE WHEN doc_id % 2 = 0 THEN n * 1000 // ((8000 + (n % 8) * 1000) * (1 + n % 2) * 2) " +
-        "ELSE n % 100000 END AS BIGINT) AS duration_ms " +
+        "WHEN doc_id % 4 = 1 THEN n % 100000 ELSE 4294967296 + n END AS BIGINT) AS duration_ms " +
         "FROM m ORDER BY doc_id"),
     // real-container replay: format/dims from the synthesis formulas, and
     // n_bytes = payload + the EXACT container overhead (PNG sig+IHDR+IDAT+

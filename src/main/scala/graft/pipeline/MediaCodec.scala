@@ -186,25 +186,47 @@ object MediaCodec {
   }
 
   /** Minimal ISO-BMFF MP4: ftyp box (20 B) + moov box holding one mvhd
-    * full box (116 B) + mdat box with `payload` (8 B header) = 144 bytes
-    * of container. The mvhd carries timescale + duration (version 0
-    * layout, ISO/IEC 14496-12 §8.2.2). */
+    * full box (116 B for version 0, 128 B for version 1) + mdat box with
+    * `payload` (8 B header) = 144 (v0) / 156 (v1) bytes of container.
+    * The mvhd carries timescale + duration (ISO/IEC 14496-12 §8.2.2:
+    * v0 = 32-bit times, v1 = 64-bit creation/modification/duration —
+    * the layout long-form or post-2038 files use). */
   def mp4Bytes(n: Long): Long = 144 + n
-  def buildMp4(timescale: Int, duration: Long, payload: Array[Byte]): Array[Byte] = {
-    val out = new ByteArrayOutputStream(payload.length + 160)
+  def mp4BytesV1(n: Long): Long = 156 + n
+  def buildMp4(timescale: Int, duration: Long, payload: Array[Byte],
+               version: Int = 0): Array[Byte] = {
+    require(version == 0 || version == 1, s"mvhd version must be 0 or 1, got $version")
+    val out = new ByteArrayOutputStream(payload.length + 176)
     def box(typ: String, body: Array[Byte]): Unit = {
       be32(out, 8L + body.length)
       out.write(typ.getBytes(US_ASCII), 0, 4)
       out.write(body, 0, body.length)
     }
     box("ftyp", "isom".getBytes(US_ASCII) ++ Array[Byte](0, 0, 0, 0) ++ "isom".getBytes(US_ASCII))
-    val mvhdBody = new Array[Byte](100) // version 0: ver/flags, ctime, mtime, timescale, duration, ...
-    mvhdBody(12) = (timescale >>> 24).toByte; mvhdBody(13) = (timescale >>> 16).toByte
-    mvhdBody(14) = (timescale >>> 8).toByte; mvhdBody(15) = timescale.toByte
-    mvhdBody(16) = (duration >>> 24).toByte; mvhdBody(17) = (duration >>> 16).toByte
-    mvhdBody(18) = (duration >>> 8).toByte; mvhdBody(19) = duration.toByte
-    val mvhd = new ByteArrayOutputStream(112)
-    be32(mvhd, 108L); mvhd.write("mvhd".getBytes(US_ASCII), 0, 4); mvhd.write(mvhdBody, 0, 100)
+    def be32At(b: Array[Byte], i: Int, v: Long): Unit = {
+      b(i) = (v >>> 24).toByte; b(i + 1) = (v >>> 16).toByte
+      b(i + 2) = (v >>> 8).toByte; b(i + 3) = v.toByte
+    }
+    val mvhdBody =
+      if (version == 0) {
+        // ver/flags(4) ctime(4) mtime(4) timescale(4) duration(4) + rest
+        val b = new Array[Byte](100)
+        be32At(b, 12, timescale.toLong)
+        be32At(b, 16, duration)
+        b
+      } else {
+        // ver/flags(4) ctime(8) mtime(8) timescale(4) duration(8) + rest
+        val b = new Array[Byte](112)
+        b(0) = 1
+        be32At(b, 20, timescale.toLong)
+        be32At(b, 24, duration >>> 32)
+        be32At(b, 28, duration & 0xffffffffL)
+        b
+      }
+    val mvhd = new ByteArrayOutputStream(mvhdBody.length + 8)
+    be32(mvhd, 8L + mvhdBody.length)
+    mvhd.write("mvhd".getBytes(US_ASCII), 0, 4)
+    mvhd.write(mvhdBody, 0, mvhdBody.length)
     box("moov", mvhd.toByteArray)
     box("mdat", payload)
     out.toByteArray
@@ -276,11 +298,17 @@ object MediaCodec {
           if (cs < 8 || j + cs > end) return None
           if (b(j + 4) == 'm' && b(j + 5) == 'v' && b(j + 6) == 'h' && b(j + 7) == 'd') {
             val body = j + 8
-            if (body + 20 > end) return None // bounds BEFORE the version read
-            if (b(body) != 0) return None // mvhd version 1 (64-bit) not synthesized
-            val timescale = rdBe32(b, body + 12)
-            val duration = rdBe32(b, body + 16)
-            if (timescale <= 0) return None
+            if (body + 1 > end) return None // bounds BEFORE the version read
+            val (timescale, duration) = b(body) match {
+              case 0 => // v0: 32-bit ctime/mtime/duration
+                if (body + 20 > end) return None
+                (rdBe32(b, body + 12), rdBe32(b, body + 16))
+              case 1 => // v1: 64-bit ctime/mtime/duration (long-form / post-2038)
+                if (body + 32 > end) return None
+                (rdBe32(b, body + 20), (rdBe32(b, body + 24) << 32) | rdBe32(b, body + 28))
+              case _ => return None // no mvhd version beyond 1 exists in 14496-12
+            }
+            if (timescale <= 0 || duration < 0) return None
             return Some(MediaInfo("mp4", 0, 0, 0, 0, 0, duration * 1000L / timescale))
           }
           j += cs.toInt
@@ -337,11 +365,16 @@ object MediaCodec {
   }
 
   private def parsePdf(b: Array[Byte]): Option[MediaInfo] = {
-    // locate the page-tree root dict and read its /Count value
+    // locate the page-tree root dict and read its /Count value; the
+    // search is bounded to that dict (stop at its closing ">>") so a
+    // root dict MISSING /Count yields None instead of reading a count
+    // from a later object or from attacker-controlled stream bytes
     val root = indexOfAscii(b, "/Type /Pages")
     if (root < 0) return None
+    val dictEnd = indexOfAscii(b, ">>", root)
+    if (dictEnd < 0) return None
     val c = indexOfAscii(b, "/Count ", root)
-    if (c < 0) return None
+    if (c < 0 || c > dictEnd) return None
     var i = c + 7
     var v = 0
     var any = false

@@ -97,10 +97,13 @@ object Multimodal {
 
   /** Media-branch routing (the north-rule "PDF/layout branch"): the
     * container magic decides the branch — PDFs go to the layout parse
-    * (page count from the page tree), raster images to the dimension
-    * parse, anything unrecognized passes through untouched. All header
-    * parsing is real (MediaCodec); only deep layout/pixel decode remains
-    * a stub seam. */
+    * (page count from the page tree), raster images (png/gif/jpeg) to the
+    * dimension parse, audio/video containers (wav/mp4) to the AV branch,
+    * anything unrecognized passes through untouched. The format match is
+    * EXPLICIT — a new format MediaCodec learns to sniff lands in
+    * passthrough until this router is deliberately taught its branch,
+    * never silently in the image branch. All header parsing is real
+    * (MediaCodec); only deep layout/pixel decode remains a stub seam. */
   def routeAndParse(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -109,9 +112,12 @@ object Multimodal {
         MediaCodec.parse(r.content) match {
           case Some(info) if info.format == "pdf" =>
             RoutedMeta(r.doc_id, r.media_ref, "pdf_layout", info.nPages, 0, 0)
-          case Some(info) =>
+          case Some(info) if info.format == "png" || info.format == "gif" ||
+              info.format == "jpeg" =>
             RoutedMeta(r.doc_id, r.media_ref, "image", 0, info.width, info.height)
-          case None =>
+          case Some(info) if info.format == "wav" || info.format == "mp4" =>
+            RoutedMeta(r.doc_id, r.media_ref, "av", 0, 0, 0)
+          case _ =>
             RoutedMeta(r.doc_id, r.media_ref, "passthrough", 0, 0, 0)
         }
       }

@@ -160,9 +160,21 @@ object Dedup {
       // Checkpoint files live for the app's lifetime (clean via storage
       // lifecycle policy, or spark.cleaner.referenceTracking
       // .cleanCheckpoints at session build).
-      if (spark.sparkContext.isLocal)
-        spark.sparkContext.setCheckpointDir(
-          java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
+      if (spark.sparkContext.isLocal) {
+        // the dir this operator creates is its own to clean: delete the
+        // whole tree at JVM exit so repeated local runs/tests don't leak
+        // per-iteration checkpoint files under /tmp (a cluster deployment
+        // sets an explicit dir and owns its lifecycle policy instead)
+        val dir = java.nio.file.Files.createTempDirectory("graft-ckpt")
+        Runtime.getRuntime.addShutdownHook(new Thread(() =>
+          try {
+            import scala.jdk.CollectionConverters._
+            java.nio.file.Files.walk(dir).iterator().asScala.toSeq
+              .sortBy(-_.getNameCount)
+              .foreach(p => java.nio.file.Files.deleteIfExists(p))
+          } catch { case _: java.io.IOException => () }))
+        spark.sparkContext.setCheckpointDir(dir.toString)
+      }
       else throw new IllegalStateException(
         "connectedComponents needs a reliable checkpoint dir on SHARED storage: " +
           "call sparkContext.setCheckpointDir(<hdfs/s3 path>) before running on a cluster")

@@ -30,6 +30,14 @@ object Relational {
     */
   def asofJoin(left: DataFrame, right: DataFrame, key: String, time: String,
                payload: Column): DataFrame = {
+    // the helper claims these names for the union+window protocol; an
+    // input that already owns one would be silently clobbered (same
+    // failure mode mergeUpsert guards against) — fail loudly instead
+    val claimed = Seq("__side", "__p", "__asof", "asof")
+    val owned = (left.columns ++ right.columns).filter(claimed.contains)
+    require(owned.isEmpty,
+      s"asofJoin: input tables must not have ${owned.distinct.mkString("/")} " +
+        "columns (they carry the as-of protocol; rename them first)")
     val r = right.select(col(key), col(time), payload.as("__p"))
       .withColumn("__side", lit(0))
     val l = left.withColumn("__side", lit(1))
@@ -86,6 +94,14 @@ object Relational {
 
   def rangeCount(left: DataFrame, right: DataFrame, key: String, time: String,
                  leftId: String, deltaSec: Long): DataFrame = {
+    // same protocol-column guard as asofJoin/mergeUpsert: the bucketing
+    // protocol claims these names on the (narrowed) left side and the
+    // output claims n_within
+    val claimed = Seq("__ts", "__b", "__b0", "__rk", "__rts", "__rb", "n_within")
+    val owned = Seq(leftId, key, time).filter(claimed.contains)
+    require(owned.isEmpty,
+      s"rangeCount: input columns must not be named ${owned.distinct.mkString("/")} " +
+        "(they carry the range-join protocol; rename them first)")
     val lsec = col(time).cast("timestamp").cast("long")
     // a right row has exactly ONE bucket and a left row probes three, so
     // every in-range (left, right) pair meets in exactly one bucket — no

@@ -399,9 +399,14 @@ object ShadowSpark {
       else docs.where(!bucketOf(nBuckets).isin(done.toSeq.map(Integer.valueOf): _*))
 
     // zero-object raw emission: the write-shaped path where the Encoder's
-    // per-span serializer loop is real per-row work — measured fastest of
-    // typed/columnar/raw in the bench A/B (BENCH/BASELINE.md); byte-equal
-    // to the typed path (SparkSpec pins raw == typed output)
+    // per-span serializer loop is real per-row work. The bench A/B
+    // (BENCH/BASELINE.md, 3 interleaved rounds per path) measures raw and
+    // columnar statistically tied on this host (within a few percent,
+    // inside run-to-run noise) with typed clearly slowest; raw is chosen
+    // for the zero-object invariant — no per-row Scala object allocation
+    // survives on the emit side, which is the property that holds up at
+    // 100x row width, not this host's small margin. Byte-equal to the
+    // typed path (SparkSpec pins raw == typed output).
     val out = processColumnarRaw(remaining.toDF(), program)
       .withColumn("bucket", bucketOf(nBuckets))
 

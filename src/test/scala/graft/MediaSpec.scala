@@ -141,6 +141,74 @@ class MediaSpec extends AnyFunSuite {
     assert(MediaCodec.parse(bare.toByteArray).isEmpty)
   }
 
+  test("MP4 mvhd version 1: 64-bit duration layout parses; v2 rejected") {
+    // hand-assembled v1: ver/flags(4) ctime(8) mtime(8) timescale(4)
+    // duration(8) — timescale 1000, duration 2^32 + 500 ms-units, a value
+    // a 32-bit read CANNOT produce
+    val out = new java.io.ByteArrayOutputStream()
+    def be32(v: Long): Unit = {
+      out.write(((v >>> 24) & 0xff).toInt); out.write(((v >>> 16) & 0xff).toInt)
+      out.write(((v >>> 8) & 0xff).toInt); out.write((v & 0xff).toInt)
+    }
+    def s4(x: String): Unit = out.write(x.getBytes(US_ASCII), 0, 4)
+    be32(16); s4("ftyp"); s4("mp42"); be32(0)
+    be32(8 + 120); s4("moov")
+    be32(120); s4("mvhd")
+    val dur = (1L << 32) + 500L
+    val body = new Array[Byte](112)
+    body(0) = 1 // version 1
+    body(20) = 0; body(21) = 0; body(22) = 3; body(23) = 0xe8.toByte // timescale 1000
+    body(24) = ((dur >>> 56) & 0xff).toByte; body(25) = ((dur >>> 48) & 0xff).toByte
+    body(26) = ((dur >>> 40) & 0xff).toByte; body(27) = ((dur >>> 32) & 0xff).toByte
+    body(28) = ((dur >>> 24) & 0xff).toByte; body(29) = ((dur >>> 16) & 0xff).toByte
+    body(30) = ((dur >>> 8) & 0xff).toByte; body(31) = (dur & 0xff).toByte
+    out.write(body, 0, 112)
+    assert(MediaCodec.parse(out.toByteArray)
+      .contains(MediaInfo("mp4", 0, 0, 0, 0, 0, dur))) // ts=1000 -> ms = dur
+    // an mvhd claiming version 2 (doesn't exist in 14496-12) is rejected
+    val v2 = out.toByteArray.clone()
+    v2(16 + 8 + 8) = 2 // version byte of the mvhd body (ftyp 16 + moov hdr 8 + mvhd hdr 8)
+    assert(MediaCodec.parse(v2).isEmpty)
+  }
+
+  test("MP4 mvhd v1 builder round-trips past 2^32; truncated v1 rejected") {
+    for (n <- Seq(0, 255, 4096)) {
+      val payload = Array.tabulate(n)(i => (i * 7 + 3).toByte)
+      val dur = (1L << 32) + n
+      val mp4 = MediaCodec.buildMp4(1000, dur, payload, version = 1)
+      assert(mp4.length.toLong == MediaCodec.mp4BytesV1(n.toLong), s"mp4v1 n=$n")
+      assert(MediaCodec.parse(mp4).contains(
+        MediaInfo("mp4", 0, 0, 0, 0, 0, dur)), s"mp4v1 n=$n")
+    }
+    // a WELL-FRAMED mvhd box that is too short for the v1 layout (body
+    // ends before the 64-bit duration): bounds must be checked against
+    // the V1 size (32 B), not v0's (20 B) — 28 B of body satisfies v0's
+    // check but not v1's
+    val short = new java.io.ByteArrayOutputStream()
+    def wbe32(v: Int): Unit = { short.write(v >>> 24); short.write((v >>> 16) & 0xff)
+      short.write((v >>> 8) & 0xff); short.write(v & 0xff) }
+    wbe32(16); short.write("ftypisom".getBytes(US_ASCII), 0, 8); wbe32(0)
+    wbe32(8 + 36); short.write("moov".getBytes(US_ASCII), 0, 4)
+    wbe32(36); short.write("mvhd".getBytes(US_ASCII), 0, 4)
+    val shortBody = new Array[Byte](28); shortBody(0) = 1
+    short.write(shortBody, 0, 28)
+    assert(MediaCodec.parse(short.toByteArray).isEmpty)
+  }
+
+  test("PDF /Count outside the page-tree dict is not read (bounded search)") {
+    // root Pages dict LACKS /Count; a later object carries one — the
+    // parser must return None, not read 999 from the wrong dict
+    val pdf = ("%PDF-1.7\n1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n" +
+      "2 0 obj << /Type /Pages /Kids [] >> endobj\n" +
+      "3 0 obj << /Length 20 >> stream\n/Count 999\nendstream endobj\n%%EOF\n")
+      .getBytes(US_ASCII)
+    assert(MediaCodec.parse(pdf).isEmpty)
+    // ... and a well-formed root with /Count BEFORE its >> still parses
+    val ok = ("%PDF-1.7\n2 0 obj << /Type /Pages /Count 7 /Kids [] >> endobj\n%%EOF\n")
+      .getBytes(US_ASCII)
+    assert(MediaCodec.parse(ok).contains(MediaInfo("pdf", 0, 0, 7)))
+  }
+
   // ---- builder -> parser round-trips across payload boundaries ----
 
   test("synth -> parse round-trips dims through the real byte layout") {

@@ -414,6 +414,48 @@ class SparkSpec extends AnyFunSuite {
     assert(out.forall(r => r.getLong(1) == r.getLong(0) - 1))
   }
 
+  test("relational protocol-column guards fail loudly, not silently clobber") {
+    import graft.pipeline.Relational
+    val base = Seq((1L, "a")).toDF("k", "v")
+    // mergeUpsert: base owning version/op is the protocol collision
+    val exM = intercept[IllegalArgumentException] {
+      Relational.mergeUpsert(Seq((1L, 2L)).toDF("k", "version"), base, "k")
+    }
+    assert(exM.getMessage.contains("version"))
+    // asofJoin: either side owning __side/__p/asof must throw
+    val exA = intercept[IllegalArgumentException] {
+      Relational.asofJoin(Seq((1L, 1L, 0)).toDF("k", "ts", "__side"), base
+        .select($"k", $"k".as("ts")), "k", "ts", org.apache.spark.sql.functions.lit(1))
+    }
+    assert(exA.getMessage.contains("__side"))
+    val exA2 = intercept[IllegalArgumentException] {
+      Relational.asofJoin(Seq((1L, 1L, 0)).toDF("k", "ts", "asof"), base
+        .select($"k", $"k".as("ts")), "k", "ts", org.apache.spark.sql.functions.lit(1))
+    }
+    assert(exA2.getMessage.contains("asof"))
+    // rangeCount: a protocol name used as the key/time/id column must throw
+    val exR = intercept[IllegalArgumentException] {
+      Relational.rangeCount(Seq((1L, 1L, 1L)).toDF("id", "k", "__ts"),
+        Seq((1L, 1L)).toDF("k", "__ts"), "k", "__ts", "id", 60L)
+    }
+    assert(exR.getMessage.contains("__ts"))
+  }
+
+  test("routeAndParse: explicit branch per format — av and passthrough too") {
+    import graft.pipeline.{MediaCodec, Multimodal}
+    val rows = Seq(
+      (1L, "media://1.png", MediaCodec.buildPng(20, 10, Array[Byte](1, 2))),
+      (2L, "media://2.pdf", MediaCodec.buildPdf(3, Array[Byte](1))),
+      (3L, "media://3.wav", MediaCodec.buildWav(8000, 1, new Array[Byte](16))),
+      (4L, "media://4.mp4", MediaCodec.buildMp4(1000, 7L, Array.emptyByteArray)),
+      (5L, "media://5.bin", "not a container".getBytes("UTF-8")))
+    val media = rows.toDF("doc_id", "media_ref", "content")
+    val out = Multimodal.routeAndParse(media).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("branch")).toMap
+    assert(out == Map(1L -> "image", 2L -> "pdf_layout", 3L -> "av",
+      4L -> "av", 5L -> "passthrough"))
+  }
+
   test("salted repartition (skew handling) preserves results exactly") {
     val docs = Corpus.generate(spark, 300, 2, megaEvery = 50) // 6 mega-docs
     val direct = ShadowSpark.process(docs, program).collect().sortBy(_.doc_id).toSeq
