@@ -768,6 +768,24 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // mm4: DEEP pixel decode — REAL zlib inflate of the IDAT stream +
+    // reversal of all five PNG scanline filters (row % 5 cycles them, so
+    // every image exercises None/Sub/Up/Average/Paeth), reduced to exact
+    // per-channel integer stats. The oracle replays the pixel FORMULA
+    // (not the compressed bytes): any defect anywhere in deflate framing,
+    // inflate, stride math, or filter reversal corrupts the sums and
+    // hash-mismatches. One output row per (doc, channel).
+    "mm4_pixel_stats" -> ((s, dir) => {
+      val media = Multimodal.synthTable(documents(s, dir)) { (id, payload) =>
+        val n = payload.length
+        val w = 8 + n % 24; val h = 8 + n % 16
+        (s"media://$id.png",
+          graft.pipeline.MediaCodec.buildPngPixels(w, h,
+            (r, c, ch) => ((id + r * 7L + c * 13L + ch * 101L) % 256).toInt))
+      }
+      Multimodal.pixelStats(media).orderBy("doc_id", "channel")
+    }),
+
     // ---- boilerplate main-content extraction (north-star branch) ----
     "bp1_main_content" -> ((s, dir) => {
       import s.implicits._
@@ -1284,6 +1302,23 @@ object SparkEntry {
         "CAST(CASE WHEN doc_id % 2 = 0 THEN n * 1000 // ((8000 + (n % 8) * 1000) * (1 + n % 2) * 2) " +
         "WHEN doc_id % 4 = 1 THEN n % 100000 ELSE 4294967296 + n END AS BIGINT) AS duration_ms " +
         "FROM m ORDER BY doc_id"),
+    // deep-decode replay: the oracle regenerates every pixel from the
+    // SYNTHESIS formula (id + 7r + 13c + 101ch mod 256) and aggregates —
+    // it never touches zlib, so Spark's inflate + 5-filter unfilter path
+    // must reproduce the exact image to match. Series bounds 22/30 cover
+    // the max dims (h <= 8+15, w <= 8+23).
+    "mm4_pixel_stats" ->
+      ("WITH m AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents), " +
+        "d AS (SELECT doc_id, 8 + n % 24 AS w, 8 + n % 16 AS h FROM m), " +
+        "px AS (SELECT d.doc_id, d.w, d.h, ch.ch, " +
+        "(d.doc_id + r.r * 7 + c.c * 13 + ch.ch * 101) % 256 AS v " +
+        "FROM d, generate_series(0, 22) AS r(r), generate_series(0, 30) AS c(c), " +
+        "(VALUES (0),(1),(2)) AS ch(ch) WHERE r.r < d.h AND c.c < d.w) " +
+        "SELECT doc_id, 'media://' || CAST(doc_id AS VARCHAR) || '.png' AS media_ref, " +
+        "CAST(w AS INT) AS width, CAST(h AS INT) AS height, CAST(ch AS INT) AS channel, " +
+        "CAST(sum(v) AS BIGINT) AS px_sum, CAST(min(v) AS INT) AS px_min, " +
+        "CAST(max(v) AS INT) AS px_max " +
+        "FROM px GROUP BY doc_id, w, h, ch ORDER BY doc_id, ch"),
     // real-container replay: format/dims from the synthesis formulas, and
     // n_bytes = payload + the EXACT container overhead (PNG sig+IHDR+IDAT+
     // IEND framing; GIF header/LSD + comment sub-block length bytes; JPEG

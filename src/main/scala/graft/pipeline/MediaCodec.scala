@@ -397,6 +397,174 @@ object MediaCodec {
     -1
   }
 
+  // ---------------------------------------------- PNG deep (pixel) decode
+  //
+  // PNG's IDAT payload is zlib (RFC 1950/1951) and the JVM ships an
+  // inflater, so DEEP decode needs no external library: inflate the
+  // concatenated IDAT chunks, reverse the per-scanline filter (the five
+  // types of ISO/IEC 15948 §9.2: None/Sub/Up/Average/Paeth), and the raw
+  // truecolor bytes fall out. This is the real thing — integer-exact, so
+  // an external SQL oracle can replay per-channel statistics from the
+  // synthesized pixel formula without ever touching zlib.
+
+  /** Per-channel integer stats over the decoded pixels: exact sum (fits
+    * i64 at any plausible image size), min, max. */
+  final case class ChannelStats(sum: Long, min: Int, max: Int)
+  final case class PngPixels(width: Int, height: Int, stats: Array[ChannelStats])
+
+  private val PngBpp = 3 // truecolor 8-bit, as the builders emit
+
+  /** Truecolor 8-bit PNG with REAL compressed scanline data: pixel (r,c)
+    * channel ch = `pixel(r, c, ch)` & 0xff, scanline filter type = row % 5
+    * so every decode exercises all five filters. Deterministic (zlib
+    * deflate of a deterministic buffer, fixed level). */
+  def buildPngPixels(w: Int, h: Int, pixel: (Int, Int, Int) => Int): Array[Byte] = {
+    require(w > 0 && h > 0, s"buildPngPixels: bad dims ${w}x$h")
+    val stride = 1 + w * PngBpp
+    val raw = new Array[Byte](h * stride)
+    // current + previous unfiltered scanlines, needed to APPLY the filters
+    var prev = new Array[Byte](w * PngBpp)
+    var cur = new Array[Byte](w * PngBpp)
+    var r = 0
+    while (r < h) {
+      var i = 0
+      while (i < w * PngBpp) {
+        cur(i) = (pixel(r, i / PngBpp, i % PngBpp) & 0xff).toByte
+        i += 1
+      }
+      val ft = r % 5
+      raw(r * stride) = ft.toByte
+      i = 0
+      while (i < w * PngBpp) {
+        val x = cur(i) & 0xff
+        val a = if (i >= PngBpp) cur(i - PngBpp) & 0xff else 0 // left
+        val b = prev(i) & 0xff // up
+        val c = if (i >= PngBpp) prev(i - PngBpp) & 0xff else 0 // up-left
+        val filtered = ft match {
+          case 0 => x
+          case 1 => x - a
+          case 2 => x - b
+          case 3 => x - (a + b) / 2
+          case _ => x - paeth(a, b, c)
+        }
+        raw(r * stride + 1 + i) = (filtered & 0xff).toByte
+        i += 1
+      }
+      val t = prev; prev = cur; cur = t
+      r += 1
+    }
+    val deflater = new java.util.zip.Deflater(6)
+    deflater.setInput(raw); deflater.finish()
+    val zout = new ByteArrayOutputStream(raw.length / 2 + 64)
+    val buf = new Array[Byte](8192)
+    while (!deflater.finished()) {
+      val k = deflater.deflate(buf)
+      zout.write(buf, 0, k)
+    }
+    deflater.end()
+    buildPng(w, h, zout.toByteArray)
+  }
+
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** Inflate + unfilter a truecolor 8-bit PNG's pixel data; returns the
+    * raw RGB bytes row-major (no filter bytes), or None when the file is
+    * not an 8-bit truecolor PNG or its stream is corrupt/truncated. */
+  private[graft] def decodePngRaw(b: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    parsePng(b) match {
+      case Some(info) =>
+        if (b(24) != 8 || b(25) != 2) return None // bit depth 8, truecolor only
+        val w = info.width; val h = info.height
+        // guard the allocation BEFORE trusting header dims: a forged
+        // 2^31-pixel header must not OOM the task
+        val stride = 1L + w.toLong * PngBpp
+        val rawLen = h.toLong * stride
+        if (rawLen > (64L << 20)) return None // 64 MB decoded cap per image
+        // concatenate IDAT chunk bodies (PNG allows splitting anywhere)
+        val z = new ByteArrayOutputStream(b.length)
+        var i = 8
+        var sawEnd = false
+        while (i + 8 <= b.length && !sawEnd) {
+          val len = rdBe32(b, i)
+          if (len < 0 || i + 12 + len > b.length) return None
+          val typ = new String(b, i + 4, 4, US_ASCII)
+          if (typ == "IDAT") z.write(b, i + 8, len.toInt)
+          if (typ == "IEND") sawEnd = true
+          i += 12 + len.toInt
+        }
+        if (z.size() == 0) return None
+        val inflater = new java.util.zip.Inflater()
+        inflater.setInput(z.toByteArray)
+        val raw = new Array[Byte](rawLen.toInt)
+        try {
+          var off = 0
+          while (off < raw.length && !inflater.finished()) {
+            val k = inflater.inflate(raw, off, raw.length - off)
+            if (k == 0 && inflater.needsInput()) return None // truncated stream
+            off += k
+          }
+          if (off != raw.length) return None // wrong decompressed size
+        } catch {
+          case _: java.util.zip.DataFormatException => return None
+        } finally inflater.end()
+        // reverse the per-scanline filter in place (ISO/IEC 15948 §9.2)
+        val out = new Array[Byte](w * h * PngBpp)
+        val rowBytes = w * PngBpp
+        var r = 0
+        while (r < h) {
+          val ft = raw(r * stride.toInt) & 0xff
+          if (ft > 4) return None
+          val src = r * stride.toInt + 1
+          val dst = r * rowBytes
+          var j = 0
+          while (j < rowBytes) {
+            val x = raw(src + j) & 0xff
+            val a = if (j >= PngBpp) out(dst + j - PngBpp) & 0xff else 0
+            val bb = if (r > 0) out(dst - rowBytes + j) & 0xff else 0
+            val c = if (r > 0 && j >= PngBpp) out(dst - rowBytes + j - PngBpp) & 0xff else 0
+            val v = ft match {
+              case 0 => x
+              case 1 => x + a
+              case 2 => x + bb
+              case 3 => x + (a + bb) / 2
+              case _ => x + paeth(a, bb, c)
+            }
+            out(dst + j) = (v & 0xff).toByte
+            j += 1
+          }
+          r += 1
+        }
+        Some((w, h, out))
+      case None => None
+    }
+  }
+
+  /** Deep decode to per-channel integer stats — the real replacement for
+    * the feature stub on PNG inputs. */
+  def decodePngPixels(b: Array[Byte]): Option[PngPixels] =
+    decodePngRaw(b).map { case (w, h, px) =>
+      val stats = Array.fill(PngBpp)(ChannelStats(0L, 255, 0))
+      val sums = new Array[Long](PngBpp)
+      val mins = Array.fill(PngBpp)(255)
+      val maxs = new Array[Int](PngBpp)
+      var i = 0
+      while (i < px.length) {
+        val ch = i % PngBpp
+        val v = px(i) & 0xff
+        sums(ch) += v
+        if (v < mins(ch)) mins(ch) = v
+        if (v > maxs(ch)) maxs(ch) = v
+        i += 1
+      }
+      var ch = 0
+      while (ch < PngBpp) { stats(ch) = ChannelStats(sums(ch), mins(ch), maxs(ch)); ch += 1 }
+      PngPixels(w, h, stats)
+    }
+
   /** Deterministic synthesis for a doc: format by doc_id % 3 (png/gif/
     * jpeg), dims from the payload length — the formulas the mm1 oracle
     * replays. The payload is the doc's UTF-8 text bytes. */

@@ -9,11 +9,13 @@ import java.nio.charset.StandardCharsets.UTF_8
   * columns with typed metadata. The header decode is REAL byte-layout
   * parsing (graft.pipeline.MediaCodec: PNG IHDR with CRC check, GIF
   * logical screen descriptor, JPEG SOFn marker walk, PDF page-tree
-  * /Count) — no media libraries needed for header-level metadata. What
-  * remains a labeled STUB is deep decode (pixel data, PDF text/layout
-  * extraction) and the 8-dim feature vector: those need real
-  * codec/layout libraries absent from this sandbox, and drop in at
-  * `decodeAll` / `routeAndParse` with the same schema and batching.
+  * /Count, WAV/MP4 chunk walks). PNG DEEP decode is ALSO real — zlib
+  * inflate + five-filter scanline reversal to raw pixels (the JVM ships
+  * the inflater), feeding `pixelStats` and the PNG feature vector. What
+  * remains a labeled STUB is deep decode of formats whose codecs
+  * genuinely need external libraries (JPEG huffman+DCT, GIF LZW, PDF
+  * text/layout): those drop in at `decodeAll` / `routeAndParse` with
+  * the same schema and batching.
   */
 object Multimodal {
 
@@ -27,9 +29,34 @@ object Multimodal {
       height: Int,
       feature: Array[Float])
 
-  /** STUB feature extractor: deterministic 8-dim "embedding" from content
-    * bytes (a real extractor — CLIP-style vision encoder etc. — drops in
-    * here; everything downstream only sees Array[Float]). */
+  /** Feature extractor. For PNG the 8-dim vector is REAL pixel
+    * arithmetic — the full zlib inflate + scanline unfilter
+    * (MediaCodec.decodePngPixels), no stub: dims 0-2 per-channel mean,
+    * 3-5 per-channel (max-min) spread, both /255, dim 6 log2(pixel
+    * count)/32, dim 7 aspect ratio w/(w+h). For formats whose deep
+    * decode genuinely needs an external codec (JPEG huffman+DCT, GIF
+    * LZW, PDF layout) it falls back to the labeled hash stub below. */
+  private[pipeline] def feature(content: Array[Byte]): Array[Float] =
+    MediaCodec.decodePngPixels(content) match {
+      case Some(px) =>
+        val n = px.width.toLong * px.height
+        val f = new Array[Float](8)
+        var ch = 0
+        while (ch < 3) {
+          f(ch) = (px.stats(ch).sum.toDouble / n / 255.0).toFloat
+          f(3 + ch) = (px.stats(ch).max - px.stats(ch).min) / 255.0f
+          ch += 1
+        }
+        f(6) = (math.log(n.toDouble) / math.log(2.0) / 32.0).toFloat
+        f(7) = px.width.toFloat / (px.width + px.height)
+        f
+      case None => featureStub(content)
+    }
+
+  /** STUB feature extractor for non-PNG formats: deterministic 8-dim
+    * "embedding" from content bytes (a real extractor — CLIP-style vision
+    * encoder etc. — drops in here; everything downstream only sees
+    * Array[Float]). */
   private[pipeline] def featureStub(content: Array[Byte]): Array[Float] = {
     var h = 0xcbf29ce484222325L
     var i = 0
@@ -81,7 +108,7 @@ object Multimodal {
         val info = MediaCodec.parse(r.content)
           .getOrElse(MediaCodec.MediaInfo("unknown", 0, 0, 0))
         MediaMeta(r.doc_id, r.media_ref, info.format, r.content.length.toLong,
-          info.width, info.height, featureStub(r.content))
+          info.width, info.height, feature(r.content))
       }
     }.toDF()
   }
@@ -90,6 +117,34 @@ object Multimodal {
   def metaForOracle(media: DataFrame): DataFrame =
     decodeAll(media).select(col("doc_id"), col("media_ref"), col("format"),
       col("n_bytes"), col("width"), col("height"))
+
+  final case class PixelStatsRow(
+      doc_id: Long, media_ref: String, width: Int, height: Int,
+      channel: Int, px_sum: Long, px_min: Int, px_max: Int)
+
+  /** DEEP image decode — the real pixel path, not a stub: full zlib
+    * inflate of the IDAT stream + reversal of all five PNG scanline
+    * filters (MediaCodec.decodePngRaw), reduced task-locally to exact
+    * per-channel integer stats (one output row per channel). Scan-local
+    * — no shuffle, no driver round-trip; the decode cost rides inside
+    * the same mapPartitions pass a 1000-executor job distributes by
+    * input split, and the 64 MB decoded-size cap bounds task memory
+    * against forged headers. Undecodable rows are dropped (the header-
+    * level branches already routed them elsewhere). */
+  def pixelStats(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { it =>
+      it.flatMap { r =>
+        MediaCodec.decodePngPixels(r.content).toSeq.flatMap { px =>
+          px.stats.iterator.zipWithIndex.map { case (s, ch) =>
+            PixelStatsRow(r.doc_id, r.media_ref, px.width, px.height,
+              ch, s.sum, s.min, s.max)
+          }
+        }
+      }
+    }.toDF()
+  }
 
   final case class RoutedMeta(
       doc_id: Long, media_ref: String, branch: String,

@@ -209,6 +209,110 @@ class MediaSpec extends AnyFunSuite {
     assert(MediaCodec.parse(ok).contains(MediaInfo("pdf", 0, 0, 7)))
   }
 
+  // ---- deep pixel decode (zlib inflate + scanline unfilter) ----
+
+  test("PNG pixel decode round-trips exact bytes through all 5 filters") {
+    // 11x10 so rows 0..9 cycle filter types 0..4 twice; pixel formula
+    // has per-channel structure so Sub/Up/Average/Paeth all do real work
+    val w = 11; val h = 10
+    def px(r: Int, c: Int, ch: Int): Int = (r * 37 + c * 11 + ch * 89 + 5) % 256
+    val png = MediaCodec.buildPngPixels(w, h, px)
+    val decoded = MediaCodec.decodePngRaw(png)
+    assert(decoded.isDefined)
+    val (dw, dh, raw) = decoded.get
+    assert(dw == w && dh == h)
+    for (r <- 0 until h; c <- 0 until w; ch <- 0 until 3)
+      assert((raw((r * w + c) * 3 + ch) & 0xff) == px(r, c, ch),
+        s"pixel mismatch at ($r,$c,$ch)")
+  }
+
+  test("PNG pixel stats are exact integer arithmetic") {
+    // 2x2 all-channels-known image: stats computable by hand
+    val vals = Array(
+      Array(10, 20, 30), Array(40, 50, 60),
+      Array(70, 80, 90), Array(200, 210, 220))
+    val png = MediaCodec.buildPngPixels(2, 2, (r, c, ch) => vals(r * 2 + c)(ch))
+    val st = MediaCodec.decodePngPixels(png).get
+    assert(st.width == 2 && st.height == 2)
+    assert(st.stats(0) == MediaCodec.ChannelStats(10 + 40 + 70 + 200, 10, 200))
+    assert(st.stats(1) == MediaCodec.ChannelStats(20 + 50 + 80 + 210, 20, 210))
+    assert(st.stats(2) == MediaCodec.ChannelStats(30 + 60 + 90 + 220, 30, 220))
+  }
+
+  test("PNG pixel decode: corrupt/hostile inputs rejected, never garbage") {
+    val good = MediaCodec.buildPngPixels(8, 8, (r, c, ch) => r + c + ch)
+    // truncated mid-IDAT -> None (incomplete zlib stream)
+    assert(MediaCodec.decodePngRaw(good.take(good.length - 20)).isEmpty)
+    // a non-PNG container -> None
+    assert(MediaCodec.decodePngRaw(MediaCodec.buildGif(8, 8, Array[Byte](1))).isEmpty)
+    // a header-only PNG (opaque IDAT payload that is NOT valid zlib) -> None
+    assert(MediaCodec.decodePngRaw(MediaCodec.buildPng(8, 8, Array[Byte](1, 2, 3))).isEmpty)
+    // zlib stream inflating to the WRONG size (claims 8x8 but carries 2x2)
+    val smallRaw = MediaCodec.buildPngPixels(2, 2, (_, _, _) => 7)
+    val idatOf2x2 = {
+      // splice 2x2's IDAT body into an 8x8 header via rebuild
+      val d = MediaCodec.decodePngRaw(smallRaw); assert(d.isDefined)
+      // reuse builder internals: deflate a 2x2 raw buffer, wrap in 8x8 png
+      val deflater = new java.util.zip.Deflater(6)
+      val raw = new Array[Byte](2 * (1 + 2 * 3)) // 2 rows, filter 0
+      deflater.setInput(raw); deflater.finish()
+      val zout = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](256)
+      while (!deflater.finished()) zout.write(buf, 0, deflater.deflate(buf))
+      MediaCodec.buildPng(8, 8, zout.toByteArray)
+    }
+    assert(MediaCodec.decodePngRaw(idatOf2x2).isEmpty)
+    // an undefined filter type (7) -> None: deflate a raw buffer whose
+    // first scanline claims filter 7, wrapped in a consistent 2x1 header
+    val badFilter = {
+      val raw = new Array[Byte](1 + 2 * 3); raw(0) = 7
+      val deflater = new java.util.zip.Deflater(6)
+      deflater.setInput(raw); deflater.finish()
+      val zout = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](256)
+      while (!deflater.finished()) zout.write(buf, 0, deflater.deflate(buf))
+      MediaCodec.buildPng(2, 1, zout.toByteArray)
+    }
+    assert(MediaCodec.decodePngRaw(badFilter).isEmpty)
+  }
+
+  test("PNG pixel decode: IDAT split across chunks still inflates (spec allows it)") {
+    val whole = MediaCodec.buildPngPixels(6, 4, (r, c, ch) => r * 50 + c * 3 + ch)
+    // locate the single IDAT chunk and re-emit it as two consecutive IDATs
+    def be32(b: Array[Byte], i: Int): Int =
+      ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) | ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+    var i = 8
+    var idatAt = -1
+    while (idatAt < 0) {
+      if (new String(whole, i + 4, 4, US_ASCII) == "IDAT") idatAt = i
+      else i += 12 + be32(whole, i)
+    }
+    val len = be32(whole, idatAt)
+    val body = whole.slice(idatAt + 8, idatAt + 8 + len)
+    val cut = len / 2
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(whole, 0, idatAt)
+    def chunk(data: Array[Byte]): Unit = {
+      val lenB = Array((data.length >>> 24).toByte, (data.length >>> 16).toByte,
+        (data.length >>> 8).toByte, data.length.toByte)
+      out.write(lenB, 0, 4)
+      out.write("IDAT".getBytes(US_ASCII), 0, 4)
+      out.write(data, 0, data.length)
+      val crc = new java.util.zip.CRC32
+      crc.update("IDAT".getBytes(US_ASCII)); crc.update(data)
+      val c = crc.getValue
+      out.write(Array((c >>> 24).toByte, (c >>> 16).toByte, (c >>> 8).toByte, c.toByte), 0, 4)
+    }
+    chunk(body.take(cut)); chunk(body.drop(cut))
+    out.write(whole, idatAt + 12 + len, whole.length - (idatAt + 12 + len))
+    val split = out.toByteArray
+    val a = MediaCodec.decodePngPixels(split)
+    val b = MediaCodec.decodePngPixels(whole)
+    assert(a.isDefined && b.isDefined)
+    assert(a.get.width == b.get.width && a.get.height == b.get.height)
+    assert(a.get.stats.toSeq == b.get.stats.toSeq)
+  }
+
   // ---- builder -> parser round-trips across payload boundaries ----
 
   test("synth -> parse round-trips dims through the real byte layout") {
