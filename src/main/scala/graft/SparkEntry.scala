@@ -663,6 +663,21 @@ object SparkEntry {
           expr("CAST(round(percentile(n_chars, 0.9) * 10) AS BIGINT)").as("p90_x10"),
           count(lit(1)).as("n"))
         .orderBy("source")),
+    // q11b: the approx_percentile SERVING path (what actually runs at
+    // 100 TB — GK/t-digest sketches are partial-aggregable, so the map
+    // side combines and only O(1/eps) summaries shuffle, vs exact
+    // percentile which shuffles every value). With accuracy 10000 the
+    // sketch's rank error eps*n < 0.5 at these group sizes, so it returns
+    // EXACTLY the element at 1-indexed rank ceil(p*n) — which is what the
+    // oracle replays (pinned empirically at sf0.01 AND sf0.1); at real
+    // scale the same query answers within eps*n ranks, and q11's exact
+    // path is its accuracy oracle (SparkSpec asserts the error bound).
+    "q11b_quantiles_approx" -> ((s, dir) =>
+      documents(s, dir).groupBy(col("source"))
+        .agg(expr("approx_percentile(n_chars, 0.5, 10000)").as("ap50"),
+          expr("approx_percentile(n_chars, 0.9, 10000)").as("ap90"),
+          count(lit(1)).as("n"))
+        .orderBy("source")),
     // cdc1: MERGE INTO semantics (Relational.mergeUpsert) — deletes for
     // doc_id%7=0, payload updates for %7=1, inserts under new keys for
     // %11=0, applied via union + per-key window-max (one shuffle, no join)
@@ -1131,6 +1146,18 @@ object SparkEntry {
       ("SELECT source, CAST(round(quantile_cont(n_chars, 0.5) * 10) AS BIGINT) AS p50_x10, " +
         "CAST(round(quantile_cont(n_chars, 0.9) * 10) AS BIGINT) AS p90_x10, " +
         "count(*) AS n FROM documents GROUP BY 1 ORDER BY 1"),
+    // approx-percentile replay: in the exact regime (group size n with
+    // eps*n < 0.5) Spark's GK sketch returns the element at 1-indexed
+    // rank ceil(p*n); the replay selects it with an explicit row_number
+    // (NOT quantile_disc, whose rank convention is floor(p*(n-1)))
+    "q11b_quantiles_approx" ->
+      ("WITH r AS (SELECT source, n_chars AS v, " +
+        "row_number() OVER (PARTITION BY source ORDER BY n_chars) AS rn, " +
+        "count(*) OVER (PARTITION BY source) AS n FROM documents) " +
+        "SELECT source, " +
+        "max(CASE WHEN rn = greatest(1, CAST(ceil(0.5 * n) AS BIGINT)) THEN v END) AS ap50, " +
+        "max(CASE WHEN rn = greatest(1, CAST(ceil(0.9 * n) AS BIGINT)) THEN v END) AS ap90, " +
+        "count(*) AS n FROM r GROUP BY source ORDER BY source"),
     // merge replay: survivors = base minus deleted/updated keys, plus the
     // updated payloads, plus the inserts under negated (collision-free) keys
     "cdc1_merge_upsert" ->

@@ -17,17 +17,75 @@ object WebCorpus {
     * rank docs within their domain by (quality desc, doc_id asc) and keep
     * the top `maxPerDomain`.
     *
-    * Scale: ONE shuffle on the domain; the window sort is O(k log k) per
-    * domain and spillable, so mega-domains (the reason the cap exists)
-    * stay bounded; output is <= maxPerDomain rows per domain. For
-    * pathological single-domain skew, AQE splits the sort; a two-phase
-    * per-partition pre-cap (keep maxPerDomain per partition first) is the
-    * further refinement at 10^12 docs and composes with this unchanged. */
+    * Scale: TWO-phase top-k. Phase 1 caps each INPUT partition to its own
+    * per-domain top `maxPerDomain` before anything shuffles (a bounded
+    * min-heap per in-flight domain, flushed in chunks of
+    * `flushDomains` distinct domains so task memory stays bounded even
+    * when every row is a new domain). Because (n_chars desc, doc_id asc)
+    * is a total order, the per-partition survivors are a superset of the
+    * global per-domain top-k, so phase 2 — ONE shuffle on the domain +
+    * the rank window — is exact and unchanged. Shuffle volume drops from
+    * all rows to at most partitions x domains x cap: for the mega-domain
+    * this operator exists for (10^9 rows of one domain across 10^5
+    * partitions at cap 2), that is the difference between shuffling 10^9
+    * rows into one hot reducer and shuffling 2x10^5. Phase 1 is the only
+    * typed (non-codegen) hop in the repo's relational layer and earns it:
+    * it is a row-NARROWING step Catalyst has no bounded-partial-top-k
+    * aggregate for. */
   def domainCap(docs: DataFrame, domain: String = "source",
-                maxPerDomain: Int = 2): DataFrame = {
+                maxPerDomain: Int = 2, prePartitionCap: Boolean = true,
+                flushDomains: Int = 100000): DataFrame = {
+    val narrowed = docs.select(col("doc_id"), col(domain), col("n_chars"))
+    val phase1 =
+      if (!prePartitionCap) narrowed
+      else {
+        val schema = narrowed.schema
+        val capped = narrowed.mapPartitions { it =>
+          import org.apache.spark.sql.Row
+          import scala.collection.mutable
+          // dequeues the WORST kept row first: smaller n_chars is worse,
+          // ties broken by larger doc_id worse — the same total order the
+          // phase-2 window ranks by, which is what makes phase 1 lossless
+          val byWorse = new Ordering[(Long, Long, Row)] {
+            def compare(a: (Long, Long, Row), b: (Long, Long, Row)): Int = {
+              val c = java.lang.Long.compare(b._1, a._1)
+              if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+            }
+          }
+          val heaps = mutable.HashMap.empty[String, mutable.PriorityQueue[(Long, Long, Row)]]
+          def add(r: Row): Unit = {
+            val nc = r.getAs[Number](2).longValue()
+            val id = r.getAs[Number](0).longValue()
+            val h = heaps.getOrElseUpdate(r.getAs[String](1),
+              mutable.PriorityQueue.empty[(Long, Long, Row)](byWorse))
+            if (h.size < maxPerDomain) h.enqueue((nc, id, r))
+            else if (byWorse.compare((nc, id, r), h.head) < 0) {
+              h.dequeue(); h.enqueue((nc, id, r))
+            }
+          }
+          def drain(): Iterator[Row] = {
+            val out = heaps.valuesIterator.flatMap(_.iterator.map(_._3)).toVector
+            heaps.clear()
+            out.iterator
+          }
+          // chunked: consume until flushDomains distinct domains are in
+          // flight, emit their survivors, repeat — bounded memory at any
+          // domain cardinality, still a per-domain top-k superset
+          new Iterator[Iterator[Row]] {
+            private var done = false
+            def hasNext: Boolean = !done
+            def next(): Iterator[Row] = {
+              while (it.hasNext && heaps.size < flushDomains) add(it.next())
+              if (!it.hasNext) done = true
+              drain()
+            }
+          }.flatten
+        }(org.apache.spark.sql.Encoders.row(schema))
+        capped.toDF(narrowed.columns: _*)
+      }
     val w = Window.partitionBy(col(domain))
       .orderBy(col("n_chars").desc, col("doc_id"))
-    docs.select(col("doc_id"), col(domain), col("n_chars"))
+    phase1
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= maxPerDomain)
   }

@@ -101,9 +101,11 @@ object Sessionize {
     * the state store instead of removing the entry, so `session_idx` stays
     * monotonic per user across flushes and (user_id, session_idx) never
     * collides — matching `batch` and the NoTimeout variant. The cost is
-    * explicit: state is ~4 longs per user EVER seen (not per active user);
-    * when that is unacceptable at scale, key session identity on
-    * (user_id, start_ts) and reclaim with state.remove() instead. */
+    * explicit: state is ~4 longs per user EVER seen (not per active user).
+    * This variant exists for consumers that NEED the per-user counter
+    * contract; at crawl scale (unbounded user cardinality) the default is
+    * `streamingBounded` below — identity keyed on (user_id, start_ts),
+    * state reclaimed with state.remove(), O(active users). */
   def streamingWithTimeout(events: Dataset[Event], gapMinutes: Int = 30,
                            watermarkDelay: String = "1 minute"): Dataset[Session] = {
     val spark = events.sparkSession
@@ -140,6 +142,65 @@ object Sessionize {
         }
         if (cur != null) {
           state.update((idx, cur))
+          state.setTimeoutTimestamp(cur.lastMs + gapMs)
+        }
+        out.iterator
+      }
+    }
+
+    events.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
+  final case class BoundedSession(
+      user_id: Long, start_ts: Timestamp, end_ts: Timestamp,
+      n_events: Long, value_cents: Long)
+
+  /** Streaming sessionization with BOUNDED state — the scale DEFAULT.
+    * Same gap machine and event-time timeout flush as
+    * `streamingWithTimeout`, but session identity is (user_id, start_ts)
+    * instead of a per-user counter, so the flush can `state.remove()`:
+    * the state store holds exactly the OPEN sessions, O(active users
+    * inside the gap window), never O(users ever seen). Identity is still
+    * collision-free — two sessions of one user are separated by more than
+    * the gap, so their start timestamps always differ. Use this on
+    * unbounded-cardinality feeds (crawl frontiers, web logs); reach for
+    * `streamingWithTimeout` only when a consumer needs the per-user
+    * monotonic `session_idx` contract badly enough to pay unbounded
+    * state for it. */
+  def streamingBounded(events: Dataset[Event], gapMinutes: Int = 30,
+                       watermarkDelay: String = "1 minute"): Dataset[BoundedSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapMinutes * 60000L
+
+    def fn(userId: Long, it: Iterator[Event], state: GroupState[SessState])
+        : Iterator[BoundedSession] = {
+      def close(cur: SessState): BoundedSession =
+        BoundedSession(userId, new Timestamp(cur.startMs), new Timestamp(cur.lastMs),
+          cur.n, cur.cents)
+      if (state.hasTimedOut) {
+        val cur = state.get
+        state.remove() // the whole point: nothing lingers after the flush
+        Iterator.single(close(cur))
+      } else {
+        val out = scala.collection.mutable.ArrayBuffer[BoundedSession]()
+        var cur = state.getOption.orNull
+        it.toSeq.sortBy(_.ts.getTime).foreach { e =>
+          val t = e.ts.getTime
+          val cents = math.round(e.value * 100)
+          if (cur == null) {
+            cur = SessState(t, t, 1, cents)
+          } else if (t - cur.lastMs > gapMs) {
+            out += close(cur)
+            cur = SessState(t, t, 1, cents)
+          } else {
+            cur = SessState(cur.startMs, math.max(cur.lastMs, t), cur.n + 1, cur.cents + cents)
+          }
+        }
+        if (cur != null) {
+          state.update(cur)
           state.setTimeoutTimestamp(cur.lastMs + gapMs)
         }
         out.iterator

@@ -89,6 +89,31 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"cdc1 must not join: ${p.take(2000)}")
   }
 
+  test("web1: two-phase domain cap — per-partition pre-cap BEFORE the shuffle") {
+    val p = plan("web1_domain_cap")
+    // phase 1 is the typed per-partition top-k hop; it must sit between
+    // the scan and the one exchange the window needs
+    assert(p.contains("MapPartitions"), p.take(2000))
+    val exchangeAt = p.indexOf("Exchange hashpartitioning")
+    val mapAt = p.indexOf("MapPartitions")
+    assert(exchangeAt >= 0 && mapAt >= 0 && mapAt > exchangeAt,
+      s"pre-cap must be upstream (below) the exchange in the plan tree:\n${p.take(2000)}")
+    assert(p.contains("Window"), p.take(800))
+  }
+
+  test("web1: pre-capped output is row-identical to the single-phase window") {
+    import graft.pipeline.WebCorpus
+    val docs = spark.read.parquet(s"$dir/documents.parquet").repartition(7)
+    val two = WebCorpus.domainCap(docs).collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    val one = WebCorpus.domainCap(docs, prePartitionCap = false)
+      .collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    assert(two == one)
+    // a tiny flush threshold (constant flushes) must still be lossless
+    val flushy = WebCorpus.domainCap(docs, flushDomains = 2)
+      .collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    assert(flushy == one)
+  }
+
   test("partial aggregation (map-side combine) on the big group-bys") {
     val p = plan("q1_agg")
     // two HashAggregate nodes = partial + final

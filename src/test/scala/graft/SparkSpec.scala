@@ -414,6 +414,40 @@ class SparkSpec extends AnyFunSuite {
     assert(out.forall(r => r.getLong(1) == r.getLong(0) - 1))
   }
 
+  test("q11b approx_percentile serving path: rank error < 1 vs the exact path") {
+    // the 100 TB serving path (partial-aggregable GK sketch) graded
+    // against the exact path it replaces. The sketch guarantees rank
+    // error <= eps*n; with accuracy 10000 and these group sizes eps*n is
+    // far below 1, so the sketch must return EXACTLY the order statistic
+    // at rank ceil(p*n) — asserted per group against a sorted
+    // collect_list, with the relative gap vs the INTERPOLATED exact
+    // percentile (a discretization artifact, not sketch error) logged.
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val rows = docs.groupBy(col("source"))
+      .agg(sort_array(collect_list(col("n_chars"))).as("vs"),
+        expr("approx_percentile(n_chars, 0.5, 10000)").cast("long").as("ap50"),
+        expr("approx_percentile(n_chars, 0.9, 10000)").cast("long").as("ap90"))
+      .collect()
+    assert(rows.nonEmpty)
+    var worstGap = 0.0
+    for (r <- rows) {
+      val vs = r.getAs[scala.collection.Seq[Long]]("vs")
+      val n = vs.length
+      for ((p, ap) <- Seq(0.5 -> r.getAs[Long]("ap50"), 0.9 -> r.getAs[Long]("ap90"))) {
+        val want = vs(math.max(1, math.ceil(p * n).toInt) - 1)
+        assert(ap == want,
+          s"${r.getString(0)} p=$p: sketch returned $ap, order statistic at ceil(p*n) is $want")
+        // interpolated exact ((n-1)*p convention, same as `percentile`)
+        val idx = (n - 1) * p
+        val lo = vs(idx.toInt); val hi = vs(math.min(n - 1, idx.toInt + 1))
+        val exact = lo + (idx - idx.toInt) * (hi - lo)
+        if (exact > 0) worstGap = math.max(worstGap, math.abs(ap - exact) / exact)
+      }
+    }
+    info(f"worst approx-vs-interpolated-exact relative gap at sf0.01: ${worstGap * 100}%.2f%%")
+  }
+
   test("relational protocol-column guards fail loudly, not silently clobber") {
     import graft.pipeline.Relational
     val base = Seq((1L, "a")).toDF("k", "v")

@@ -107,6 +107,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("bounded-state sessionization: flush reclaims state, identity never collides") {
+    import graft.streaming.Sessionize
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val events = mem.toDS()
+      .toDF("user_id", "ts", "value").as[Sessionize.Event]
+    val q = Sessionize.streamingBounded(events, gapMinutes = 30)
+      .writeStream.outputMode("append").format("memory").queryName("graft_sess_bnd").start()
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+    try {
+      // user 1's first session flushes via the event-time timeout, its
+      // state entry is REMOVED (not tombstoned) — then user 1 returns and
+      // a fresh session forms from empty state with a new start_ts
+      mem.addData((1L, ts(600), 1.0), (1L, ts(605), 2.0))
+      q.processAllAvailable()
+      assert(spark.table("graft_sess_bnd").count() == 0) // still open
+      mem.addData((2L, ts(2000), 5.0)) // watermark passes user 1's last + gap
+      q.processAllAvailable()
+      mem.addData((1L, ts(2100), 4.0)) // user 1 reappears post-flush
+      q.processAllAvailable()
+      mem.addData((2L, ts(4000), 6.0)) // advance watermark -> flush everything open
+      q.processAllAvailable()
+      val rows = spark.table("graft_sess_bnd").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).getTime / 60000L,
+          r.getAs[Long]("n_events"), r.getAs[Long]("value_cents")))
+      assert(rows.toSet == Set((1L, 600L, 2L, 300L), (1L, 2100L, 1L, 400L),
+        (2L, 2000L, 1L, 500L)), s"got ${rows.mkString(",")}")
+      // (user_id, start_ts) identity: every emitted session distinct
+      val ids = rows.map(r => (r._1, r._2))
+      assert(ids.distinct.length == ids.length)
+    } finally q.stop()
+  }
+
   test("streaming dedup (watermark-bounded state) emits exactly the batch-distinct keys") {
     import graft.streaming.Sessionize
     val dir = java.nio.file.Files.createTempDirectory("graft_sdedup").toString
