@@ -801,6 +801,25 @@ object SparkEntry {
       Multimodal.pixelStats(media).orderBy("doc_id", "channel")
     }),
 
+    // mm5: DEEP PDF text extraction — REAL content-stream parse: every
+    // page references a content stream holding `(header) Tj [(text) -250
+    // (#END)] TJ` show ops; odd doc_ids get the stream FlateDecode-
+    // compressed (real zlib, inflated back with the JVM inflater), even
+    // ones raw. The extracted text must round-trip byte-exactly through
+    // PDF string escaping (doc text may contain parens/backslashes) and
+    // both show-op forms; the oracle replays the expected concatenation
+    // from the documents table without touching PDF bytes at all.
+    "mm5_pdf_text" -> ((s, dir) => {
+      import java.nio.charset.StandardCharsets.UTF_8
+      val media = Multimodal.synthTable(documents(s, dir)) { (id, payload) =>
+        val n = payload.length
+        (s"media://$id.pdf",
+          graft.pipeline.MediaCodec.buildPdfWithText(1 + n % 5,
+            s"DOC$id:".getBytes(UTF_8), payload, flate = id % 2 == 1))
+      }
+      Multimodal.pdfText(media).orderBy("doc_id")
+    }),
+
     // ---- boilerplate main-content extraction (north-star branch) ----
     "bp1_main_content" -> ((s, dir) => {
       import s.implicits._
@@ -1346,6 +1365,15 @@ object SparkEntry {
         "CAST(sum(v) AS BIGINT) AS px_sum, CAST(min(v) AS INT) AS px_min, " +
         "CAST(max(v) AS INT) AS px_max " +
         "FROM px GROUP BY doc_id, w, h, ch ORDER BY doc_id, ch"),
+    // PDF-text replay: expected extraction = header + doc text + the
+    // builder's TJ end marker; n_pages from the same formula mm2 uses.
+    // The oracle never parses PDF bytes — the Spark side must unescape
+    // and (for odd ids) inflate its way back to this exact string.
+    "mm5_pdf_text" ->
+      ("SELECT doc_id, 'media://' || CAST(doc_id AS VARCHAR) || '.pdf' AS media_ref, " +
+        "CAST(1 + octet_length(encode(text)) % 5 AS INT) AS n_pages, " +
+        "'DOC' || CAST(doc_id AS VARCHAR) || ':' || text || '#END' AS text " +
+        "FROM documents ORDER BY doc_id"),
     // real-container replay: format/dims from the synthesis formulas, and
     // n_bytes = payload + the EXACT container overhead (PNG sig+IHDR+IDAT+
     // IEND framing; GIF header/LSD + comment sub-block length bytes; JPEG

@@ -565,6 +565,223 @@ object MediaCodec {
       PngPixels(w, h, stats)
     }
 
+  // ----------------------------------------------- PDF deep (text) decode
+  //
+  // A PDF page's text lives in its content stream as show-text operators
+  // (ISO 32000-1 §9.4.3): `(string) Tj`, `(s) '`, `(s) "` and the array
+  // form `[(a) -250 (b)] TJ`. Streams are optionally FlateDecode (zlib,
+  // §7.4.4) — which the JVM inflater handles — so REAL text extraction
+  // for uncompressed and Flate PDFs needs no external library. This is
+  // the north rule's "PDF/layout parse" branch on real bytes; formats
+  // needing more (LZW, DCT-in-PDF, CID fonts) remain out of scope.
+
+  /** Escape a byte string into PDF literal-string form: backslash, parens
+    * (§7.3.4.2). */
+  private def pdfEscape(payload: Array[Byte], out: ByteArrayOutputStream): Unit = {
+    var i = 0
+    while (i < payload.length) {
+      val c = payload(i)
+      if (c == '\\' || c == '(' || c == ')') out.write('\\')
+      out.write(c.toInt)
+      i += 1
+    }
+  }
+
+  /** Minimal PDF whose pages carry a REAL content stream: the text shows
+    * as `(header) Tj [(body) -250 (#END)] TJ` inside BT/ET — one simple
+    * show op, one array show op with a kerning number, so extraction must
+    * handle both. `flate` wraps the stream in real zlib (§7.4.4). All
+    * pages reference the one content stream. Extracted text is exactly
+    * header + body + "#END". */
+  def buildPdfWithText(nPages: Int, header: Array[Byte], body: Array[Byte],
+                       flate: Boolean): Array[Byte] = {
+    val content = new ByteArrayOutputStream(header.length + body.length + 64)
+    def cs(x: String): Unit = { val b = x.getBytes(US_ASCII); content.write(b, 0, b.length) }
+    cs("BT /F1 12 Tf 72 720 Td (")
+    pdfEscape(header, content)
+    cs(") Tj [(")
+    pdfEscape(body, content)
+    cs(") -250 (#END)] TJ ET")
+    val raw = content.toByteArray
+    val streamBytes =
+      if (!flate) raw
+      else {
+        val deflater = new java.util.zip.Deflater(6)
+        deflater.setInput(raw); deflater.finish()
+        val zout = new ByteArrayOutputStream(raw.length / 2 + 64)
+        val buf = new Array[Byte](8192)
+        while (!deflater.finished()) zout.write(buf, 0, deflater.deflate(buf))
+        deflater.end()
+        zout.toByteArray
+      }
+    val out = new ByteArrayOutputStream(streamBytes.length + 256)
+    def s(x: String): Unit = { val b = x.getBytes(US_ASCII); out.write(b, 0, b.length) }
+    s("%PDF-1.4\n")
+    s("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    val contentsObj = 3 + nPages
+    val kids = (0 until nPages).map(p => s"${3 + p} 0 R").mkString(" ")
+    s(s"2 0 obj << /Type /Pages /Count $nPages /Kids [$kids] >> endobj\n")
+    for (p <- 0 until nPages)
+      s(s"${3 + p} 0 obj << /Type /Page /Parent 2 0 R /Contents $contentsObj 0 R >> endobj\n")
+    val filter = if (flate) " /Filter /FlateDecode" else ""
+    s(s"$contentsObj 0 obj << /Length ${streamBytes.length}$filter >> stream\n")
+    out.write(streamBytes, 0, streamBytes.length)
+    s("\nendstream endobj\n%%EOF\n")
+    out.toByteArray
+  }
+
+  /** Extract the shown text from every content stream, in stream order:
+    * find each `<< ... >> stream` block, read exactly /Length bytes (so
+    * compressed bytes that happen to spell "endstream" cannot truncate
+    * the walk), inflate when the dict says /FlateDecode, then tokenize
+    * the content for Tj / ' / " / TJ show ops, unescaping literal
+    * strings (backslash escapes incl. octal, nested parens, §7.3.4.2).
+    * None when no stream yields text or the container is malformed. */
+  def extractPdfText(b: Array[Byte]): Option[String] = {
+    if (!(b.length >= 5 && b(0) == '%' && b(1) == 'P' && b(2) == 'D' &&
+      b(3) == 'F' && b(4) == '-')) return None
+    val out = new ByteArrayOutputStream(256)
+    var searchFrom = 0
+    var sawStream = false
+    var cursor = 0
+    while ({ cursor = indexOfAscii(b, "stream", searchFrom); cursor >= 0 }) {
+      // the keyword must be followed by EOL (§7.3.8.1) — "endstream"
+      // contains "stream" too, so require the dict close right before
+      val dictEnd = lastIndexOfAscii(b, ">>", cursor)
+      val dictStart = if (dictEnd < 0) -1 else lastIndexOfAscii(b, "<<", dictEnd)
+      var bodyAt = cursor + 6
+      if (bodyAt < b.length && b(bodyAt) == '\r') bodyAt += 1
+      if (bodyAt < b.length && b(bodyAt) == '\n') bodyAt += 1
+      val validKeyword = cursor == 0 || b(cursor - 1) != 'd' // not "endstream"
+      if (validKeyword && dictStart >= 0 && dictEnd > dictStart) {
+        val len = readDictLength(b, dictStart, dictEnd)
+        if (len >= 0 && bodyAt + len <= b.length && len <= (64 << 20)) {
+          val flate = indexOfAsciiIn(b, "/FlateDecode", dictStart, dictEnd) >= 0
+          val streamBytes = java.util.Arrays.copyOfRange(b, bodyAt, bodyAt + len)
+          val content =
+            if (!flate) Some(streamBytes)
+            else inflateAll(streamBytes, 64 << 20)
+          content.foreach { c => sawStream = true; tokenizeContent(c, out) }
+          searchFrom = bodyAt + len
+        } else searchFrom = cursor + 6
+      } else searchFrom = cursor + 6
+    }
+    if (!sawStream) None else Some(new String(out.toByteArray, UTF_8))
+  }
+
+  private def readDictLength(b: Array[Byte], dictStart: Int, dictEnd: Int): Int = {
+    val at = indexOfAsciiIn(b, "/Length ", dictStart, dictEnd)
+    if (at < 0) return -1
+    var i = at + 8
+    var v = 0L
+    var any = false
+    while (i < dictEnd && b(i) >= '0' && b(i) <= '9') {
+      v = v * 10 + (b(i) - '0'); any = true; i += 1
+      if (v > Int.MaxValue) return -1
+    }
+    if (!any) -1 else v.toInt
+  }
+
+  private def inflateAll(z: Array[Byte], cap: Int): Option[Array[Byte]] = {
+    val inflater = new java.util.zip.Inflater()
+    inflater.setInput(z)
+    val out = new ByteArrayOutputStream(math.min(cap, z.length * 4 + 64))
+    val buf = new Array[Byte](8192)
+    try {
+      while (!inflater.finished()) {
+        val k = inflater.inflate(buf)
+        if (k == 0 && inflater.needsInput()) return None // truncated
+        out.write(buf, 0, k)
+        if (out.size() > cap) return None // zip-bomb guard
+      }
+      Some(out.toByteArray)
+    } catch {
+      case _: java.util.zip.DataFormatException => None
+    } finally inflater.end()
+  }
+
+  /** Content-stream show-op tokenizer: collects literal strings and
+    * appends them to `out` when a show operator consumes them. */
+  private def tokenizeContent(c: Array[Byte], out: ByteArrayOutputStream): Unit = {
+    var i = 0
+    var lastString: Array[Byte] = null
+    var arrayStrings: scala.collection.mutable.ArrayBuffer[Array[Byte]] = null
+    var lastArray: scala.collection.mutable.ArrayBuffer[Array[Byte]] = null
+    while (i < c.length) {
+      val ch = c(i)
+      if (ch == '(') {
+        val sb = new ByteArrayOutputStream(32)
+        var depth = 1
+        i += 1
+        while (i < c.length && depth > 0) {
+          val x = c(i)
+          if (x == '\\' && i + 1 < c.length) {
+            i += 1
+            val e = c(i)
+            e match {
+              case 'n' => sb.write('\n'); i += 1
+              case 'r' => sb.write('\r'); i += 1
+              case 't' => sb.write('\t'); i += 1
+              case 'b' => sb.write('\b'); i += 1
+              case 'f' => sb.write('\f'); i += 1
+              case '\n' => i += 1 // line continuation: swallow
+              case d if d >= '0' && d <= '7' =>
+                var v = 0; var k = 0
+                while (k < 3 && i < c.length && c(i) >= '0' && c(i) <= '7') {
+                  v = v * 8 + (c(i) - '0'); i += 1; k += 1
+                }
+                sb.write(v & 0xff)
+              case other => sb.write(other.toInt); i += 1
+            }
+          } else if (x == '(') { depth += 1; sb.write('('); i += 1 }
+          else if (x == ')') {
+            depth -= 1
+            if (depth > 0) sb.write(')')
+            i += 1
+          } else { sb.write(x.toInt); i += 1 }
+        }
+        lastString = sb.toByteArray
+        if (arrayStrings != null) arrayStrings += lastString
+      } else if (ch == '[') {
+        arrayStrings = scala.collection.mutable.ArrayBuffer.empty
+        i += 1
+      } else if (ch == ']') {
+        lastArray = arrayStrings
+        arrayStrings = null
+        i += 1
+      } else if ((ch >= 'A' && ch <= 'Z') || (ch >= 'a' && ch <= 'z') ||
+          ch == '\'' || ch == '"') {
+        val start = i
+        if (ch == '\'' || ch == '"') i += 1
+        else while (i < c.length && ((c(i) >= 'A' && c(i) <= 'Z') ||
+          (c(i) >= 'a' && c(i) <= 'z') || c(i) == '*')) i += 1
+        val op = new String(c, start, i - start, US_ASCII)
+        op match {
+          case "Tj" | "'" | "\"" => if (lastString != null) out.write(lastString, 0, lastString.length)
+          case "TJ" => if (lastArray != null) lastArray.foreach(s => out.write(s, 0, s.length))
+          case _ => () // positioning/state ops carry no text
+        }
+      } else i += 1
+    }
+  }
+
+  private def lastIndexOfAscii(b: Array[Byte], needle: String, before: Int): Int = {
+    val nb = needle.getBytes(US_ASCII)
+    var i = math.min(before, b.length - nb.length)
+    while (i >= 0) {
+      var j = 0
+      while (j < nb.length && b(i + j) == nb(j)) j += 1
+      if (j == nb.length) return i
+      i -= 1
+    }
+    -1
+  }
+
+  private def indexOfAsciiIn(b: Array[Byte], needle: String, from: Int, until: Int): Int = {
+    val at = indexOfAscii(b, needle, from)
+    if (at < 0 || at >= until) -1 else at
+  }
+
   /** Deterministic synthesis for a doc: format by doc_id % 3 (png/gif/
     * jpeg), dims from the payload length — the formulas the mm1 oracle
     * replays. The payload is the doc's UTF-8 text bytes. */

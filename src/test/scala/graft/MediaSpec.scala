@@ -313,6 +313,45 @@ class MediaSpec extends AnyFunSuite {
     assert(a.get.stats.toSeq == b.get.stats.toSeq)
   }
 
+  // ---- deep PDF text extraction (content-stream tokenize + Flate) ----
+
+  test("PDF text: hand-built content stream with escapes, Tj, TJ and ' ops") {
+    val content = "BT /F1 12 Tf 72 720 Td " +
+      "(Hello \\(World\\)) Tj " + // escaped parens
+      "(nested (parens) pass) Tj " +
+      "(back\\\\slash and \\101\\102C octal) Tj " + // \101\102 = AB
+      "[(array ) -250 (parts)] TJ " +
+      "(quote op) ' ET"
+    val body = content.getBytes(US_ASCII)
+    val pdf = ("%PDF-1.4\n1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n" +
+      "2 0 obj << /Type /Pages /Count 1 /Kids [3 0 R] >> endobj\n" +
+      "3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n" +
+      s"4 0 obj << /Length ${body.length} >> stream\n").getBytes(US_ASCII) ++
+      body ++ "\nendstream endobj\n%%EOF\n".getBytes(US_ASCII)
+    assert(MediaCodec.extractPdfText(pdf).contains(
+      "Hello (World)nested (parens) passback\\slash and ABC octalarray partsquote op"))
+  }
+
+  test("PDF text: builder round-trips raw and FlateDecode, hostile payloads") {
+    for (flate <- Seq(false, true)) {
+      // payload exercises escaping: parens, backslash, and the words
+      // "stream"/"endstream" INSIDE the body (the /Length walk must not
+      // be fooled by them)
+      val body = "real (text) with \\ and stream endstream words"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val pdf = MediaCodec.buildPdfWithText(3, "HDR:".getBytes(US_ASCII), body, flate)
+      assert(MediaCodec.parse(pdf).contains(MediaInfo("pdf", 0, 0, 3)), s"flate=$flate")
+      assert(MediaCodec.extractPdfText(pdf).contains(
+        "HDR:real (text) with \\ and stream endstream words#END"), s"flate=$flate")
+    }
+    // truncated flate stream -> None, not garbage
+    val good = MediaCodec.buildPdfWithText(1, "H".getBytes(US_ASCII),
+      ("x" * 500).getBytes(US_ASCII), flate = true)
+    assert(MediaCodec.extractPdfText(good.take(good.length / 2)).isEmpty)
+    // non-PDF -> None
+    assert(MediaCodec.extractPdfText("not a pdf".getBytes(US_ASCII)).isEmpty)
+  }
+
   // ---- builder -> parser round-trips across payload boundaries ----
 
   test("synth -> parse round-trips dims through the real byte layout") {
