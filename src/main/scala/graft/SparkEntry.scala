@@ -820,6 +820,32 @@ object SparkEntry {
       Multimodal.pdfText(media).orderBy("doc_id")
     }),
 
+    // mm6: DEEP GIF pixel decode — REAL LZW decompression of the indexed
+    // pixel stream (variable-width codes, LSB-first packing, K[w]K case)
+    // + palette mapping to per-channel stats. The oracle replays the
+    // index and palette FORMULAS; any defect in the LZW coder pair,
+    // sub-block framing, or palette lookup corrupts the sums. Conformance
+    // of the LZW pair itself is cross-validated against the JDK's
+    // javax.imageio GIF codec in MediaSpec (both directions).
+    "mm6_gif_pixel_stats" -> ((s, dir) => {
+      val media = Multimodal.synthTable(documents(s, dir)) { (id, payload) =>
+        val n = payload.length
+        val w = 8 + n % 24; val h = 8 + n % 16
+        val palette = Array.tabulate(768) { j =>
+          val i = j / 3
+          (((j % 3) match {
+            case 0 => i * 7 + 13
+            case 1 => i * 11 + 29
+            case _ => i * 13 + 37
+          }) % 256).toByte
+        }
+        (s"media://$id.gif",
+          graft.pipeline.MediaCodec.buildGifPixels(w, h, palette,
+            (r, c) => ((id + r * 3L + c * 5L) % 256).toInt))
+      }
+      Multimodal.pixelStats(media).orderBy("doc_id", "channel")
+    }),
+
     // ---- boilerplate main-content extraction (north-star branch) ----
     "bp1_main_content" -> ((s, dir) => {
       import s.implicits._
@@ -1361,6 +1387,24 @@ object SparkEntry {
         "FROM d, generate_series(0, 22) AS r(r), generate_series(0, 30) AS c(c), " +
         "(VALUES (0),(1),(2)) AS ch(ch) WHERE r.r < d.h AND c.c < d.w) " +
         "SELECT doc_id, 'media://' || CAST(doc_id AS VARCHAR) || '.png' AS media_ref, " +
+        "CAST(w AS INT) AS width, CAST(h AS INT) AS height, CAST(ch AS INT) AS channel, " +
+        "CAST(sum(v) AS BIGINT) AS px_sum, CAST(min(v) AS INT) AS px_min, " +
+        "CAST(max(v) AS INT) AS px_max " +
+        "FROM px GROUP BY doc_id, w, h, ch ORDER BY doc_id, ch"),
+    // GIF deep-decode replay: regenerate every palette index from the
+    // synthesis formula, map through the palette formulas, aggregate —
+    // the oracle never runs LZW, so Spark's decompressor must reproduce
+    // the exact index stream to match
+    "mm6_gif_pixel_stats" ->
+      ("WITH m AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents), " +
+        "d AS (SELECT doc_id, 8 + n % 24 AS w, 8 + n % 16 AS h FROM m), " +
+        "px AS (SELECT d.doc_id, d.w, d.h, ch.ch, " +
+        "CASE ch.ch WHEN 0 THEN (((d.doc_id + r.r * 3 + c.c * 5) % 256) * 7 + 13) % 256 " +
+        "WHEN 1 THEN (((d.doc_id + r.r * 3 + c.c * 5) % 256) * 11 + 29) % 256 " +
+        "ELSE (((d.doc_id + r.r * 3 + c.c * 5) % 256) * 13 + 37) % 256 END AS v " +
+        "FROM d, generate_series(0, 22) AS r(r), generate_series(0, 30) AS c(c), " +
+        "(VALUES (0),(1),(2)) AS ch(ch) WHERE r.r < d.h AND c.c < d.w) " +
+        "SELECT doc_id, 'media://' || CAST(doc_id AS VARCHAR) || '.gif' AS media_ref, " +
         "CAST(w AS INT) AS width, CAST(h AS INT) AS height, CAST(ch AS INT) AS channel, " +
         "CAST(sum(v) AS BIGINT) AS px_sum, CAST(min(v) AS INT) AS px_min, " +
         "CAST(max(v) AS INT) AS px_max " +

@@ -410,7 +410,7 @@ object MediaCodec {
   /** Per-channel integer stats over the decoded pixels: exact sum (fits
     * i64 at any plausible image size), min, max. */
   final case class ChannelStats(sum: Long, min: Int, max: Int)
-  final case class PngPixels(width: Int, height: Int, stats: Array[ChannelStats])
+  final case class ImagePixels(width: Int, height: Int, stats: Array[ChannelStats])
 
   private val PngBpp = 3 // truecolor 8-bit, as the builders emit
 
@@ -543,9 +543,14 @@ object MediaCodec {
     }
   }
 
+  /** Deep decode to per-channel integer stats over any format with a real
+    * pure-JVM pixel path (PNG zlib+unfilter, GIF LZW+palette). */
+  def decodeImagePixels(b: Array[Byte]): Option[ImagePixels] =
+    decodePngPixels(b).orElse(decodeGifPixels(b))
+
   /** Deep decode to per-channel integer stats — the real replacement for
     * the feature stub on PNG inputs. */
-  def decodePngPixels(b: Array[Byte]): Option[PngPixels] =
+  def decodePngPixels(b: Array[Byte]): Option[ImagePixels] =
     decodePngRaw(b).map { case (w, h, px) =>
       val stats = Array.fill(PngBpp)(ChannelStats(0L, 255, 0))
       val sums = new Array[Long](PngBpp)
@@ -562,8 +567,275 @@ object MediaCodec {
       }
       var ch = 0
       while (ch < PngBpp) { stats(ch) = ChannelStats(sums(ch), mins(ch), maxs(ch)); ch += 1 }
-      PngPixels(w, h, stats)
+      ImagePixels(w, h, stats)
     }
+
+  // ------------------------------------------------ GIF deep (pixel) decode
+  //
+  // GIF's image data is LZW-compressed palette indices (GIF89a spec
+  // Appendix F): variable-width codes starting at minCodeSize+1 bits,
+  // LSB-first bit packing, CLEAR/EOI control codes, table capped at 4096
+  // entries. ~100 lines of pure JVM code — no library needed — so GIF
+  // joins PNG in the REAL deep-decode column. Conformance of both
+  // directions is cross-validated in MediaSpec against the JDK's own
+  // javax.imageio GIF codec (an independent implementation, used only in
+  // tests).
+
+  /** GIF-variant LZW compress of `data` (byte symbols 0..2^minCodeSize-1).
+    * Emits CLEAR first, EOI last; resets the table when it fills. */
+  private[graft] def lzwCompress(data: Array[Byte], minCodeSize: Int): Array[Byte] = {
+    val clear = 1 << minCodeSize
+    val eoi = clear + 1
+    val out = new ByteArrayOutputStream(data.length / 2 + 16)
+    var bitBuf = 0L
+    var bitCnt = 0
+    var width = minCodeSize + 1
+    def emit(code: Int): Unit = {
+      bitBuf |= code.toLong << bitCnt
+      bitCnt += width
+      while (bitCnt >= 8) { out.write((bitBuf & 0xff).toInt); bitBuf >>>= 8; bitCnt -= 8 }
+    }
+    // table: (prefix code << 8 | appended byte) -> code. Boxed Integer on
+    // purpose: a null-unboxing HashMap[Int,Int] would silently read 0.
+    var table = new java.util.HashMap[Integer, Integer]()
+    var next = eoi + 1
+    emit(clear)
+    if (data.nonEmpty) {
+      var w = data(0) & ((1 << minCodeSize) - 1)
+      var i = 1
+      while (i < data.length) {
+        val k = data(i) & ((1 << minCodeSize) - 1)
+        val key: Integer = (w << 8) | k
+        val hit = table.get(key)
+        if (hit != null) {
+          w = hit.intValue()
+        } else {
+          emit(w)
+          // width bump one entry LATER than the decoder's trigger: the
+          // decoder re-creates entry #i one code position later in the
+          // stream than the encoder added it, so the lagged threshold
+          // makes both sides first use the wider width on the same code
+          table.put(key, Integer.valueOf(next))
+          next += 1
+          if (next == (1 << width) + 1 && width < 12) width += 1
+          if (next > 4095) {
+            emit(clear)
+            table = new java.util.HashMap[Integer, Integer]()
+            next = eoi + 1
+            width = minCodeSize + 1
+          }
+          w = k
+        }
+        i += 1
+      }
+      emit(w)
+    }
+    emit(eoi)
+    if (bitCnt > 0) out.write((bitBuf & 0xff).toInt)
+    out.toByteArray
+  }
+
+  /** GIF-variant LZW decompress; `expected` bounds the output (w*h for an
+    * image). None on malformed streams (bad code, missing EOI tolerated
+    * only at exact expected length, table overflow). */
+  private[graft] def lzwDecompress(z: Array[Byte], minCodeSize: Int,
+                                   expected: Int): Option[Array[Byte]] = {
+    val clear = 1 << minCodeSize
+    val eoi = clear + 1
+    val out = new ByteArrayOutputStream(expected)
+    var bitPos = 0
+    var width = minCodeSize + 1
+    def read(): Int = {
+      if (bitPos + width > z.length * 8) return -1
+      var v = 0
+      var i = 0
+      while (i < width) {
+        val bit = (z((bitPos + i) >> 3) >> ((bitPos + i) & 7)) & 1
+        v |= bit << i
+        i += 1
+      }
+      bitPos += width
+      v
+    }
+    // table as (prefix, byte) per code; root codes implicit
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    var next = eoi + 1
+    var prev = -1
+    def expand(code: Int): Array[Byte] = {
+      var c = code
+      var n = 1
+      while (c >= clear) { n += 1; c = prefix(c) }
+      val res = new Array[Byte](n)
+      c = code
+      var i = n - 1
+      while (c >= clear) { res(i) = suffix(c); c = prefix(c); i -= 1 }
+      res(0) = c.toByte
+      res
+    }
+    var done = false
+    while (!done) {
+      val code = read()
+      if (code < 0) return None
+      if (code == clear) {
+        next = eoi + 1; width = minCodeSize + 1; prev = -1
+      } else if (code == eoi) {
+        done = true
+      } else if (prev < 0) {
+        if (code >= clear) return None // first code must be a root
+        out.write(code)
+        prev = code
+      } else {
+        val entry: Array[Byte] =
+          if (code < next && (code < clear || code > eoi)) expand(code)
+          else if (code == next && next < 4096) { // K[w]K: the entry being built
+            val p = expand(prev)
+            val e = java.util.Arrays.copyOf(p, p.length + 1)
+            e(p.length) = p(0)
+            e
+          } else return None
+        out.write(entry, 0, entry.length)
+        if (next < 4096) {
+          prefix(next) = prev
+          suffix(next) = entry(0)
+          next += 1
+          if (next == (1 << width) && width < 12) width += 1
+        }
+        prev = code
+      }
+      if (out.size() > expected) return None
+    }
+    if (out.size() != expected) return None
+    Some(out.toByteArray)
+  }
+
+  /** 256-color GIF89a with REAL LZW-compressed indexed pixel data: global
+    * color table `palette` (768 bytes, rgb triples), pixel (r,c) = palette
+    * index `index(r, c) & 0xff`. Layout: header+LSD (13) + GCT (768) +
+    * image descriptor (10) + LZW min code size (1) + sub-blocked code
+    * stream + block terminator + trailer. */
+  def buildGifPixels(w: Int, h: Int, palette: Array[Byte],
+                     index: (Int, Int) => Int): Array[Byte] = {
+    require(w > 0 && h > 0, s"buildGifPixels: bad dims ${w}x$h")
+    require(palette.length == 768, s"palette must be 768 bytes, got ${palette.length}")
+    val out = new ByteArrayOutputStream(w * h + 820)
+    out.write("GIF89a".getBytes(US_ASCII), 0, 6)
+    out.write(w & 0xff); out.write((w >>> 8) & 0xff)
+    out.write(h & 0xff); out.write((h >>> 8) & 0xff)
+    out.write(0xf7) // GCT present, 8-bit color resolution, GCT size 2^8
+    out.write(0); out.write(0) // bg color 0, aspect 0
+    out.write(palette, 0, 768)
+    out.write(0x2c) // image descriptor
+    out.write(0); out.write(0); out.write(0); out.write(0) // left, top
+    out.write(w & 0xff); out.write((w >>> 8) & 0xff)
+    out.write(h & 0xff); out.write((h >>> 8) & 0xff)
+    out.write(0) // no local color table, not interlaced
+    out.write(8) // LZW min code size
+    val indices = new Array[Byte](w * h)
+    var r = 0
+    while (r < h) {
+      var c = 0
+      while (c < w) { indices(r * w + c) = (index(r, c) & 0xff).toByte; c += 1 }
+      r += 1
+    }
+    val z = lzwCompress(indices, 8)
+    var i = 0
+    while (i < z.length) {
+      val k = math.min(255, z.length - i)
+      out.write(k)
+      out.write(z, i, k)
+      i += k
+    }
+    out.write(0) // block terminator
+    out.write(0x3b) // trailer
+    out.toByteArray
+  }
+
+  /** DEEP GIF decode to per-channel integer stats: parse LSD + global
+    * color table, walk extensions to the first image descriptor, LZW-
+    * decompress the index stream, map indices through the active palette.
+    * Interlaced images are accepted: interlacing only permutes SCANLINE
+    * order (GIF89a spec App. E), and per-channel stats are order-
+    * invariant — a future raw-pixel API would deinterlace here instead.
+    * None for missing palettes or corrupt streams. */
+  def decodeGifPixels(b: Array[Byte]): Option[ImagePixels] = {
+    if (!(b.length >= 13 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
+      b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a')) return None
+    val packed = b(10) & 0xff
+    var gct: Array[Byte] = null
+    var i = 13
+    if ((packed & 0x80) != 0) {
+      val n = 3 * (1 << ((packed & 7) + 1))
+      if (i + n > b.length) return None
+      gct = java.util.Arrays.copyOfRange(b, i, i + n)
+      i += n
+    }
+    while (i < b.length) {
+      (b(i) & 0xff) match {
+        case 0x21 => // extension: label + sub-blocks
+          i += 2
+          while (i < b.length && b(i) != 0) i += 1 + (b(i) & 0xff)
+          if (i >= b.length) return None
+          i += 1 // terminator
+        case 0x2c => // image descriptor
+          if (i + 10 > b.length) return None
+          val w = rdLe16(b, i + 5); val h = rdLe16(b, i + 7)
+          val ipacked = b(i + 9) & 0xff
+          i += 10
+          var pal = gct
+          if ((ipacked & 0x80) != 0) {
+            val n = 3 * (1 << ((ipacked & 7) + 1))
+            if (i + n > b.length) return None
+            pal = java.util.Arrays.copyOfRange(b, i, i + n)
+            i += n
+          }
+          if (pal == null || w <= 0 || h <= 0) return None
+          if (w.toLong * h > (64L << 20)) return None // same cap as PNG
+          if (i >= b.length) return None
+          val minCode = b(i) & 0xff
+          if (minCode < 1 || minCode > 11) return None
+          i += 1
+          // concatenate the sub-blocked code stream
+          val z = new ByteArrayOutputStream(w * h / 2 + 64)
+          while (i < b.length && b(i) != 0) {
+            val k = b(i) & 0xff
+            if (i + 1 + k > b.length) return None
+            z.write(b, i + 1, k)
+            i += 1 + k
+          }
+          if (i >= b.length) return None
+          return lzwDecompress(z.toByteArray, minCode, w * h).flatMap { idx =>
+            val nColors = pal.length / 3
+            val sums = new Array[Long](3)
+            val mins = Array.fill(3)(255)
+            val maxs = new Array[Int](3)
+            var p = 0
+            var bad = false
+            while (p < idx.length && !bad) {
+              val ci = idx(p) & 0xff
+              if (ci >= nColors) bad = true // index outside the palette
+              else {
+                var ch = 0
+                while (ch < 3) {
+                  val v = pal(ci * 3 + ch) & 0xff
+                  sums(ch) += v
+                  if (v < mins(ch)) mins(ch) = v
+                  if (v > maxs(ch)) maxs(ch) = v
+                  ch += 1
+                }
+              }
+              p += 1
+            }
+            if (bad) None
+            else Some(ImagePixels(w, h,
+              Array.tabulate(3)(ch => ChannelStats(sums(ch), mins(ch), maxs(ch)))))
+          }
+        case 0x3b => return None // trailer before any image
+        case _ => return None // unknown block: bail rather than guess
+      }
+    }
+    None
+  }
 
   // ----------------------------------------------- PDF deep (text) decode
   //

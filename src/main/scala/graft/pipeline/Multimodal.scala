@@ -29,15 +29,16 @@ object Multimodal {
       height: Int,
       feature: Array[Float])
 
-  /** Feature extractor. For PNG the 8-dim vector is REAL pixel
-    * arithmetic — the full zlib inflate + scanline unfilter
-    * (MediaCodec.decodePngPixels), no stub: dims 0-2 per-channel mean,
-    * 3-5 per-channel (max-min) spread, both /255, dim 6 log2(pixel
-    * count)/32, dim 7 aspect ratio w/(w+h). For formats whose deep
-    * decode genuinely needs an external codec (JPEG huffman+DCT, GIF
-    * LZW, PDF layout) it falls back to the labeled hash stub below. */
+  /** Feature extractor. For PNG and GIF the 8-dim vector is REAL pixel
+    * arithmetic — PNG: full zlib inflate + scanline unfilter; GIF: LZW
+    * decompress + palette mapping (MediaCodec.decodeImagePixels), no
+    * stub: dims 0-2 per-channel mean, 3-5 per-channel (max-min) spread,
+    * both /255, dim 6 log2(pixel count)/32, dim 7 aspect ratio w/(w+h).
+    * For formats whose deep decode genuinely needs an external codec
+    * (JPEG huffman+DCT, PDF raster layout) it falls back to the labeled
+    * hash stub below. */
   private[pipeline] def feature(content: Array[Byte]): Array[Float] =
-    MediaCodec.decodePngPixels(content) match {
+    MediaCodec.decodeImagePixels(content) match {
       case Some(px) =>
         val n = px.width.toLong * px.height
         val f = new Array[Float](8)
@@ -122,21 +123,22 @@ object Multimodal {
       doc_id: Long, media_ref: String, width: Int, height: Int,
       channel: Int, px_sum: Long, px_min: Int, px_max: Int)
 
-  /** DEEP image decode — the real pixel path, not a stub: full zlib
-    * inflate of the IDAT stream + reversal of all five PNG scanline
-    * filters (MediaCodec.decodePngRaw), reduced task-locally to exact
-    * per-channel integer stats (one output row per channel). Scan-local
-    * — no shuffle, no driver round-trip; the decode cost rides inside
-    * the same mapPartitions pass a 1000-executor job distributes by
-    * input split, and the 64 MB decoded-size cap bounds task memory
-    * against forged headers. Undecodable rows are dropped (the header-
-    * level branches already routed them elsewhere). */
+  /** DEEP image decode — the real pixel path, not a stub: PNG = full
+    * zlib inflate of the IDAT stream + reversal of all five scanline
+    * filters; GIF = LZW decompress + palette mapping (MediaCodec
+    * .decodeImagePixels), reduced task-locally to exact per-channel
+    * integer stats (one output row per channel). Scan-local — no
+    * shuffle, no driver round-trip; the decode cost rides inside the
+    * same mapPartitions pass a 1000-executor job distributes by input
+    * split, and the 64 MB decoded-size cap bounds task memory against
+    * forged headers. Undecodable rows are dropped (the header-level
+    * branches already routed them elsewhere). */
   def pixelStats(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     media.as[MediaRow].mapPartitions { it =>
       it.flatMap { r =>
-        MediaCodec.decodePngPixels(r.content).toSeq.flatMap { px =>
+        MediaCodec.decodeImagePixels(r.content).toSeq.flatMap { px =>
           px.stats.iterator.zipWithIndex.map { case (s, ch) =>
             PixelStatsRow(r.doc_id, r.media_ref, px.width, px.height,
               ch, s.sum, s.min, s.max)

@@ -313,6 +313,101 @@ class MediaSpec extends AnyFunSuite {
     assert(a.get.stats.toSeq == b.get.stats.toSeq)
   }
 
+  // ---- deep GIF pixel decode (LZW + palette) ----
+
+  private def testPalette: Array[Byte] = Array.tabulate(768) { j =>
+    val i = j / 3
+    (((j % 3) match {
+      case 0 => i * 7 + 13
+      case 1 => i * 11 + 29
+      case _ => i * 13 + 37
+    }) % 256).toByte
+  }
+
+  test("GIF LZW pair round-trips: repetitive, varied, table-reset inputs") {
+    val fixtures = Seq(
+      Array.emptyByteArray,
+      Array[Byte](0),
+      Array.fill(10000)(7.toByte), // maximal repetition
+      Array.tabulate(5000)(i => (i % 256).toByte), // cycling symbols
+      Array.tabulate(30000)(i => ((i * i + i / 7) % 256).toByte), // forces 12-bit + reset
+      Array.tabulate(257)(i => (i % 2).toByte))
+    for ((data, fi) <- fixtures.zipWithIndex) {
+      val z = MediaCodec.lzwCompress(data, 8)
+      val back = MediaCodec.lzwDecompress(z, 8, data.length)
+      assert(back.isDefined, s"fixture $fi failed to decompress")
+      assert(java.util.Arrays.equals(back.get, data), s"fixture $fi round-trip mismatch")
+    }
+    // small alphabet too (min code size 2, the 4-color case)
+    val small = Array.tabulate(1000)(i => (i % 4).toByte)
+    val z2 = MediaCodec.lzwCompress(small, 2)
+    assert(MediaCodec.lzwDecompress(z2, 2, small.length).exists(
+      java.util.Arrays.equals(_, small)))
+    // truncated stream -> None
+    val z3 = MediaCodec.lzwCompress(Array.tabulate(1000)(i => (i % 250).toByte), 8)
+    assert(MediaCodec.lzwDecompress(z3.take(z3.length / 2), 8, 1000).isEmpty)
+  }
+
+  test("GIF pixel decode round-trips; stats match the palette mapping") {
+    def idx(r: Int, c: Int): Int = (r * 3 + c * 5 + 2) % 256
+    val w = 13; val h = 9
+    val gif = MediaCodec.buildGifPixels(w, h, testPalette, idx)
+    val st = MediaCodec.decodeGifPixels(gif)
+    assert(st.isDefined)
+    assert(st.get.width == w && st.get.height == h)
+    val pal = testPalette
+    for (ch <- 0 until 3) {
+      val vs = for (r <- 0 until h; c <- 0 until w) yield pal(idx(r, c) * 3 + ch) & 0xff
+      assert(st.get.stats(ch) == MediaCodec.ChannelStats(vs.map(_.toLong).sum, vs.min, vs.max), s"ch $ch")
+    }
+    // header-level parse still sees the container (mm1-style metadata)
+    assert(MediaCodec.parse(gif).contains(MediaInfo("gif", w, h, 0)))
+    // corrupt sub-block framing -> None
+    assert(MediaCodec.decodeGifPixels(gif.take(gif.length - 30)).isEmpty)
+  }
+
+  test("GIF LZW conformance: the JDK's ImageIO decodes our encoder's output") {
+    // javax.imageio is an INDEPENDENT GIF implementation — if our
+    // variable-width code schedule were self-consistent but wrong, this
+    // cross-read would catch it
+    def idx(r: Int, c: Int): Int = (r * 7 + c * 31 + 5) % 256
+    val w = 40; val h = 25
+    val gif = MediaCodec.buildGifPixels(w, h, testPalette, idx)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(gif))
+    assert(img != null, "ImageIO could not read our GIF at all")
+    assert(img.getWidth == w && img.getHeight == h)
+    val pal = testPalette
+    for (r <- 0 until h; c <- 0 until w) {
+      val i = idx(r, c)
+      val expected = 0xff000000 | ((pal(i * 3) & 0xff) << 16) |
+        ((pal(i * 3 + 1) & 0xff) << 8) | (pal(i * 3 + 2) & 0xff)
+      assert(img.getRGB(c, r) == expected, s"pixel ($r,$c)")
+    }
+  }
+
+  test("GIF LZW conformance: our decoder reads the JDK ImageIO writer's GIFs") {
+    val w = 33; val h = 17
+    val pal = testPalette
+    val rs = new Array[Byte](256); val gs = new Array[Byte](256); val bs = new Array[Byte](256)
+    for (i <- 0 until 256) { rs(i) = pal(i * 3); gs(i) = pal(i * 3 + 1); bs(i) = pal(i * 3 + 2) }
+    val icm = new java.awt.image.IndexColorModel(8, 256, rs, gs, bs)
+    val bi = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+    def idx(r: Int, c: Int): Int = (r * 11 + c * 3 + 9) % 256
+    for (r <- 0 until h; c <- 0 until w)
+      bi.getRaster.setSample(c, r, 0, idx(r, c))
+    val baos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(bi, "gif", baos), "no GIF writer in this JDK")
+    val decoded = MediaCodec.decodeGifPixels(baos.toByteArray)
+    assert(decoded.isDefined, "our decoder rejected an ImageIO-written GIF")
+    assert(decoded.get.width == w && decoded.get.height == h)
+    for (ch <- 0 until 3) {
+      val vs = for (r <- 0 until h; c <- 0 until w) yield pal(idx(r, c) * 3 + ch) & 0xff
+      assert(decoded.get.stats(ch) ==
+        MediaCodec.ChannelStats(vs.map(_.toLong).sum, vs.min, vs.max), s"ch $ch")
+    }
+  }
+
   // ---- deep PDF text extraction (content-stream tokenize + Flate) ----
 
   test("PDF text: hand-built content stream with escapes, Tj, TJ and ' ops") {
