@@ -846,6 +846,24 @@ object SparkEntry {
       Multimodal.pixelStats(media).orderBy("doc_id", "channel")
     }),
 
+    // mm7: DEEP JPEG decode — REAL baseline entropy decode: canonical
+    // Huffman tables, DC prediction, byte destuffing, dequantize, IDCT.
+    // The synth is DC-only (flat 8x8 blocks — the one case where every
+    // conformant IDCT is bit-exact), so the oracle can replay pixels as
+    // pure integer arithmetic; general AC streams are conformance-tested
+    // against javax.imageio in MediaSpec. Q(0,0)=8 makes dequant/IDCT
+    // the identity on the DC value: pixel = dc + 128 exactly.
+    "mm7_jpeg_pixel_stats" -> ((s, dir) => {
+      val media = Multimodal.synthTable(documents(s, dir)) { (id, payload) =>
+        val n = payload.length
+        val w = 8 + n % 24; val h = 8 + n % 16
+        (s"media://$id.jpg",
+          graft.pipeline.JpegCodec.buildJpegDcOnly(w, h,
+            (br, bc) => ((id + br * 5L + bc * 11L) % 256).toInt - 128))
+      }
+      Multimodal.pixelStats(media).orderBy("doc_id", "channel")
+    }),
+
     // ---- boilerplate main-content extraction (north-star branch) ----
     "bp1_main_content" -> ((s, dir) => {
       import s.implicits._
@@ -1405,6 +1423,23 @@ object SparkEntry {
         "FROM d, generate_series(0, 22) AS r(r), generate_series(0, 30) AS c(c), " +
         "(VALUES (0),(1),(2)) AS ch(ch) WHERE r.r < d.h AND c.c < d.w) " +
         "SELECT doc_id, 'media://' || CAST(doc_id AS VARCHAR) || '.gif' AS media_ref, " +
+        "CAST(w AS INT) AS width, CAST(h AS INT) AS height, CAST(ch AS INT) AS channel, " +
+        "CAST(sum(v) AS BIGINT) AS px_sum, CAST(min(v) AS INT) AS px_min, " +
+        "CAST(max(v) AS INT) AS px_max " +
+        "FROM px GROUP BY doc_id, w, h, ch ORDER BY doc_id, ch"),
+    // JPEG deep-decode replay: pixel = dc + 128 = (doc_id + 5*(r div 8) +
+    // 11*(c div 8)) mod 256, identical across the three (grayscale)
+    // channels — the oracle never touches Huffman codes, so Spark's
+    // entropy decoder must reproduce the exact DC sequence (including
+    // the running DC prediction) to match
+    "mm7_jpeg_pixel_stats" ->
+      ("WITH m AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents), " +
+        "d AS (SELECT doc_id, 8 + n % 24 AS w, 8 + n % 16 AS h FROM m), " +
+        "px AS (SELECT d.doc_id, d.w, d.h, ch.ch, " +
+        "(d.doc_id + (r.r // 8) * 5 + (c.c // 8) * 11) % 256 AS v " +
+        "FROM d, generate_series(0, 22) AS r(r), generate_series(0, 30) AS c(c), " +
+        "(VALUES (0),(1),(2)) AS ch(ch) WHERE r.r < d.h AND c.c < d.w) " +
+        "SELECT doc_id, 'media://' || CAST(doc_id AS VARCHAR) || '.jpg' AS media_ref, " +
         "CAST(w AS INT) AS width, CAST(h AS INT) AS height, CAST(ch AS INT) AS channel, " +
         "CAST(sum(v) AS BIGINT) AS px_sum, CAST(min(v) AS INT) AS px_min, " +
         "CAST(max(v) AS INT) AS px_max " +

@@ -544,9 +544,12 @@ object MediaCodec {
   }
 
   /** Deep decode to per-channel integer stats over any format with a real
-    * pure-JVM pixel path (PNG zlib+unfilter, GIF LZW+palette). */
+    * pure-JVM pixel path (PNG zlib+unfilter, GIF LZW+palette, baseline
+    * JPEG huffman+IDCT). Each decoder sniffs its own magic; mm1-style
+    * metadata-only containers fall through to None. */
   def decodeImagePixels(b: Array[Byte]): Option[ImagePixels] =
     decodePngPixels(b).orElse(decodeGifPixels(b))
+      .orElse(JpegCodec.decodeJpegPixels(b))
 
   /** Deep decode to per-channel integer stats — the real replacement for
     * the feature stub on PNG inputs. */

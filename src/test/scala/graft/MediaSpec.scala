@@ -408,6 +408,77 @@ class MediaSpec extends AnyFunSuite {
     }
   }
 
+  // ---- deep JPEG decode (huffman entropy + IDCT) ----
+
+  test("JPEG DC-only round-trips: huffman decode + flat-block IDCT exact") {
+    import graft.pipeline.JpegCodec
+    def dc(br: Int, bc: Int): Int = ((br * 5 + bc * 11 + 3) % 256) - 128
+    val w = 21; val h = 13 // non-multiple-of-8 dims: MCU padding + crop
+    val jpg = JpegCodec.buildJpegDcOnly(w, h, dc)
+    val st = JpegCodec.decodeJpegPixels(jpg)
+    assert(st.isDefined)
+    assert(st.get.width == w && st.get.height == h)
+    val vs = for (r <- 0 until h; c <- 0 until w) yield dc(r / 8, c / 8) + 128
+    for (ch <- 0 until 3)
+      assert(st.get.stats(ch) ==
+        MediaCodec.ChannelStats(vs.map(_.toLong).sum, vs.min, vs.max), s"ch $ch")
+    // truncated entropy data -> None
+    assert(JpegCodec.decodeJpegPixels(jpg.take(jpg.length / 2)).isEmpty)
+    // a metadata-only mm1 container (no SOS) -> None, not a crash
+    assert(JpegCodec.decodeJpegPixels(
+      MediaCodec.buildJpeg(16, 16, Array[Byte](1, 2, 3))).isEmpty)
+  }
+
+  test("JPEG conformance: the JDK's ImageIO decodes our DC-only output exact") {
+    import graft.pipeline.JpegCodec
+    // flat blocks are the one case where EVERY conformant IDCT is
+    // bit-exact, so the cross-read must match pixel-for-pixel
+    def dc(br: Int, bc: Int): Int = ((br * 17 + bc * 29 + 60) % 250) - 125
+    val w = 40; val h = 24
+    val jpg = JpegCodec.buildJpegDcOnly(w, h, dc)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpg))
+    assert(img != null, "ImageIO could not read our JPEG at all")
+    assert(img.getWidth == w && img.getHeight == h)
+    for (r <- 0 until h; c <- 0 until w) {
+      val v = dc(r / 8, c / 8) + 128
+      // raw raster samples, NOT getRGB: Java's grayscale ColorSpace is
+      // linear, and getRGB would bake a linear->sRGB transform into the
+      // comparison (the decoded JPEG samples themselves are what T.81
+      // defines)
+      val got = img.getRaster.getSample(c, r, 0)
+      assert(got == v, s"pixel ($r,$c): got $got want $v")
+    }
+  }
+
+  test("JPEG conformance: our decoder reads ImageIO-written JPEGs within IDCT tolerance") {
+    import graft.pipeline.JpegCodec
+    // a real-world encoder: quant tables, AC coefficients, the works.
+    // Conformant IDCTs may differ by +-1 per sample (T.81 Annex A), so
+    // compare our plane against ImageIO's own decode with that tolerance.
+    val w = 48; val h = 32
+    val bi = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (r <- 0 until h; c <- 0 until w)
+      bi.getRaster.setSample(c, r, 0, (r * r + c * 3 + (r * c) / 5) % 256)
+    val baos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(bi, "jpg", baos), "no JPEG writer in this JDK")
+    val bytes = baos.toByteArray
+    val ours = JpegCodec.decodePlanes(bytes)
+    assert(ours.isDefined, "our decoder rejected an ImageIO-written JPEG")
+    val (dw, dh, planes) = ours.get
+    assert(dw == w && dh == h && planes.length == 1)
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    var exact = 0
+    for (r <- 0 until h; c <- 0 until w) {
+      val mine = planes(0)(r * w + c)
+      val theirs = ref.getRaster.getSample(c, r, 0) // raw sample, not sRGB-converted
+      assert(math.abs(mine - theirs) <= 1, s"pixel ($r,$c): ours $mine imageio $theirs")
+      if (mine == theirs) exact += 1
+    }
+    info(s"exact pixels: $exact/${w * h} (rest within +-1)")
+    assert(exact > w * h / 2) // the overwhelming majority must agree exactly
+  }
+
   // ---- deep PDF text extraction (content-stream tokenize + Flate) ----
 
   test("PDF text: hand-built content stream with escapes, Tj, TJ and ' ops") {

@@ -114,6 +114,14 @@ class PlanSpec extends AnyFunSuite {
     assert(flushy == one)
   }
 
+  test("q11b: the approx-percentile sketch aggregates partially (map-side combine)") {
+    // the whole point of the serving path: the sketch is partial-aggregable
+    // (partial + final ObjectHashAggregate), so only summaries shuffle —
+    // exact percentile by contrast needs every value at the reducer
+    val p = plan("q11b_quantiles_approx")
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2, p.take(1500))
+  }
+
   test("partial aggregation (map-side combine) on the big group-bys") {
     val p = plan("q1_agg")
     // two HashAggregate nodes = partial + final
