@@ -398,16 +398,15 @@ object ShadowSpark {
       if (done.isEmpty) docs
       else docs.where(!bucketOf(nBuckets).isin(done.toSeq.map(Integer.valueOf): _*))
 
-    // zero-object raw emission: the write-shaped path where the Encoder's
-    // per-span serializer loop is real per-row work. The bench A/B
-    // (BENCH/BASELINE.md, 3 interleaved rounds per path) measures raw and
-    // columnar statistically tied on this host (within a few percent,
-    // inside run-to-run noise) with typed clearly slowest; raw is chosen
-    // for the zero-object invariant — no per-row Scala object allocation
-    // survives on the emit side, which is the property that holds up at
-    // 100x row width, not this host's small margin. Byte-equal to the
-    // typed path (SparkSpec pins raw == typed output).
-    val out = processColumnarRaw(remaining.toDF(), program)
+    // columnar emission: the MEASURED write-path winner. The bench A/B
+    // (BENCH/BASELINE.md, 3 interleaved rounds per path, noop sink) has
+    // columnar ahead of raw in both committed runs (1.6% and 4% — small
+    // but consistently positive) with typed clearly slowest, so the
+    // writer routes through it; processColumnarRaw stays available for
+    // the zero-object-emission invariant when row width grows enough to
+    // flip the measurement. Output byte-equal across all three paths
+    // (SparkSpec pins raw == typed; columnar shares the typed emitter).
+    val out = processColumnar(remaining.toDF(), program).toDF()
       .withColumn("bucket", bucketOf(nBuckets))
 
     val prevMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
