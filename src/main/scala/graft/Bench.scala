@@ -207,6 +207,20 @@ object Bench {
     val abDps: Map[String, Double] =
       abKinds.map(k => k -> (if (abWalls(k).nonEmpty) nDocs / abWalls(k).min else 0.0)).toMap
     val abWinner = if (abRounds > 0) abKinds.maxBy(abDps) else "n/a"
+    // Tie-band routing rule (writeResumable routes through the incumbent,
+    // processColumnar): the route flips ONLY when a challenger leads the
+    // incumbent by >5% in a committed run's >= 3 interleaved rounds.
+    // Rounds 3 and 4 each flipped the route on a <= 4% lead that reversed
+    // with host noise — a margin inside the noise band is a tie, and a
+    // tie keeps the incumbent.
+    val abIncumbent = "columnar"
+    val abMarginPct =
+      if (abRounds > 0 && abDps(abIncumbent) > 0)
+        (abDps(abWinner) / abDps(abIncumbent) - 1.0) * 100.0
+      else 0.0
+    val abRoute =
+      if (abRounds > 0 && abWinner != abIncumbent && abMarginPct > 5.0) abWinner
+      else abIncumbent
 
     // The literal north-rule form: the SAME job on a REAL multi-executor
     // topology, 1 vs 4 executor JVMs of 4 cores each (local-cluster),
@@ -227,13 +241,20 @@ object Bench {
       }
     val pairsExec: IndexedSeq[(Double, Double)] = execRounds.map(r => (r._1, r._3))
     val pairsExecEng: IndexedSeq[(Double, Double)] = execRounds.map(r => (r._2, r._4))
-    // Throttle-artifact discard (the best-wall discipline applied to the
-    // ceiling-relative statistic): a 4-executor wall EXCEEDING the
-    // 1-executor wall on the same input is physically impossible without
-    // a host throttle event landing inside the pair — the same rationale
-    // as the existing >1.0-efficiency discard — so such pairs enter the
-    // raw wall report but never the statistics.
-    def sane(p: (Double, Double)): Boolean = p._2 <= p._1
+    // Plausibility discard, SYMMETRIC on both tails: a pair enters the
+    // statistics only when its implied 1->4 efficiency lies in
+    // [0.25, 1.25] — i.e. the 4-executor wall is neither slower than the
+    // 1-executor wall (eff < 0.25: on this workload, embarrassingly
+    // parallel with a tiny label shuffle, that has only ever coincided
+    // with documented host-throttle windows — though on an oversubscribed
+    // single box negative scaling is not strictly impossible) nor more
+    // than 5x faster (eff > 1.25: super-linear beyond cache effects, the
+    // opposite-side throttle landing on the 1-executor wall). Discarding
+    // only one tail would bias the efficiency statistics upward; both
+    // tails cut, and the discard count is always reported so a reader
+    // can weigh the residual selection effect.
+    def sane(p: (Double, Double)): Boolean =
+      p._2 <= p._1 && p._2 >= p._1 / 5.0
     val validJob = pairsExec.filter(sane)
     val validEng = pairsExecEng.filter(sane)
     val execDiscarded = (pairsExec.size - validJob.size) + (pairsExecEng.size - validEng.size)
@@ -283,6 +304,42 @@ object Bench {
     val eng32 = engRounds.map(_._4).max
     val engEff4 = (eng16 / eng4) / 4.0
     val engEff = (eng32 / eng8) / 4.0
+
+    // ---- single-box ceilings at the SATURATED 8->32 pair, measured
+    // fresh each run: what this host lets ANY workload scale to when 32
+    // worker threads own every vCPU. Pure-CPU = zero-allocation xorshift
+    // spin (embarrassingly parallel — the absolute ceiling); pure-
+    // allocation = 4 KB array churn (the memory-bus/GC bound the parquet
+    // scan + UTF-8 decode share lives under). Work scales with thread
+    // count (equal wall per side), best of 2 interleaved rounds. ----
+    def hostRun(n: Int, perThread: Long, work: Long => Unit): Double = {
+      val t0 = System.nanoTime()
+      val ts = (0 until n).map(_ => new Thread(() => work(perThread)))
+      ts.foreach(_.start()); ts.foreach(_.join())
+      n * perThread / ((System.nanoTime() - t0) / 1e9)
+    }
+    def spinWork(iters: Long): Unit = {
+      var x = 0x9e3779b97f4a7c15L; var i = 0L
+      while (i < iters) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+      if (x == 42L) println("") // defeat dead-code elimination
+    }
+    def allocWork(iters: Long): Unit = {
+      var s = 0L; var i = 0L
+      while (i < iters) {
+        val a = new Array[Byte](4096)
+        a((i & 4095).toInt) = i.toByte
+        s += a((i % 4096).toInt); i += 1
+      }
+      if (s == Long.MinValue) println("")
+    }
+    hostRun(32, 50000000L, spinWork) // JIT warmup
+    hostRun(32, 200000L, allocWork)
+    val hostRounds = (1 to 2).map { _ =>
+      (hostRun(8, 400000000L, spinWork), hostRun(32, 400000000L, spinWork),
+        hostRun(8, 1000000L, allocWork), hostRun(32, 1000000L, allocWork))
+    }
+    val hostCpuEff = (hostRounds.map(_._2).max / hostRounds.map(_._1).max) / 4.0
+    val hostAllocEff = (hostRounds.map(_._4).max / hostRounds.map(_._3).max) / 4.0
 
     val best8 = pairs.map(_._1).min
     val best32 = pairs.map(_._2).min
@@ -340,7 +397,7 @@ object Bench {
         if (p.waitFor() == 0 && o.nonEmpty) o else "unknown"
       } catch { case _: Exception => "unknown" }
     println(
-      f"""{"metric":"docs_per_sec_local32","value":$dps32%.1f,"unit":"docs/sec","queries":$qs,"sf":"$sfDir","total_query_sec":$total%.2f,"bench_docs":$nDocs,"sha":"$gitSha","docs_per_sec_local8":$dps8%.1f,"docs_per_sec_local4":$dps4%.1f,"docs_per_sec_local16":$dps16%.1f,"docs_per_sec_1_executor":${j(dpsE1, execRan, "%.1f")},"docs_per_sec_4_executors":${j(dpsE4, execRan, "%.1f")},"wall_pairs_4_16":$pairs4Str,"wall_pairs_8_32":$pairsStr,"wall_pairs_exec_1_4":$pairsExecStr,"engine_wall_pairs_exec_1_4":$pairsExecEngStr,"scaling_efficiency_n4_to_16":$efficiency4%.3f,"scaling_efficiency_n4_to_16_median":$effMedian4%.3f,"scaling_efficiency_8_to_32":$efficiency%.3f,"scaling_efficiency_executors_1_to_4":${j(effExec, execRan)},"scaling_efficiency_exec_engine_ceiling":${j(effExecEng, execRan)},"job_to_exec_ceiling":${j(jobToCeilingExec, execRan)},"job_to_exec_ceiling_median":${j(jtcExecMedian, execRan)},"exec_pairs_discarded":${if (pairsExec.nonEmpty) execDiscarded.toString else "null"},"docs_per_sec_write_typed":${j(abDps("typed"), abRounds > 0, "%.1f")},"docs_per_sec_write_columnar":${j(abDps("columnar"), abRounds > 0, "%.1f")},"docs_per_sec_write_raw":${j(abDps("raw"), abRounds > 0, "%.1f")},"write_path_winner":"$abWinner","job_to_engine_ceiling_4_16":$jobToCeiling4%.3f,"engine_docs_per_sec_8t":$eng8%.1f,"engine_docs_per_sec_32t":$eng32%.1f,"engine_scaling_efficiency_4_to_16":$engEff4%.3f,"engine_scaling_efficiency_8_to_32":$engEff%.3f}""")
+      f"""{"metric":"docs_per_sec_local32","value":$dps32%.1f,"unit":"docs/sec","queries":$qs,"sf":"$sfDir","total_query_sec":$total%.2f,"bench_docs":$nDocs,"sha":"$gitSha","docs_per_sec_local8":$dps8%.1f,"docs_per_sec_local4":$dps4%.1f,"docs_per_sec_local16":$dps16%.1f,"docs_per_sec_1_executor":${j(dpsE1, execRan, "%.1f")},"docs_per_sec_4_executors":${j(dpsE4, execRan, "%.1f")},"wall_pairs_4_16":$pairs4Str,"wall_pairs_8_32":$pairsStr,"wall_pairs_exec_1_4":$pairsExecStr,"engine_wall_pairs_exec_1_4":$pairsExecEngStr,"scaling_efficiency_n4_to_16":$efficiency4%.3f,"scaling_efficiency_n4_to_16_median":$effMedian4%.3f,"scaling_efficiency_8_to_32":$efficiency%.3f,"scaling_efficiency_executors_1_to_4":${j(effExec, execRan)},"scaling_efficiency_exec_engine_ceiling":${j(effExecEng, execRan)},"job_to_exec_ceiling":${j(jobToCeilingExec, execRan)},"job_to_exec_ceiling_median":${j(jtcExecMedian, execRan)},"exec_pairs_discarded":${if (pairsExec.nonEmpty) execDiscarded.toString else "null"},"docs_per_sec_write_typed":${j(abDps("typed"), abRounds > 0, "%.1f")},"docs_per_sec_write_columnar":${j(abDps("columnar"), abRounds > 0, "%.1f")},"docs_per_sec_write_raw":${j(abDps("raw"), abRounds > 0, "%.1f")},"write_path_winner":"$abWinner","write_path_margin_pct":${j(abMarginPct, abRounds > 0, "%.1f")},"write_path_route":"$abRoute","job_to_engine_ceiling_4_16":$jobToCeiling4%.3f,"engine_docs_per_sec_8t":$eng8%.1f,"engine_docs_per_sec_32t":$eng32%.1f,"engine_scaling_efficiency_4_to_16":$engEff4%.3f,"engine_scaling_efficiency_8_to_32":$engEff%.3f,"host_cpu_eff_8_32":$hostCpuEff%.3f,"host_alloc_eff_8_32":$hostAllocEff%.3f}""")
 
     val md =
       f"""# BENCH / BASELINE — measured numbers
@@ -392,11 +449,23 @@ object Bench {
          || wall pairs (exec1 s, exec4 s) | $pairsExecStr |
          || engine-ceiling wall pairs (exec1 s, exec4 s) | $pairsExecEngStr |
          || throttle-artifact pairs discarded from exec stats (4N wall > N wall) | ${if (pairsExec.nonEmpty) execDiscarded.toString else "n/a"} |
-         || write-path A/B docs/sec (typed / columnar / raw, noop sink) | ${if (abRounds > 0) f"${abDps("typed")}%.1f / ${abDps("columnar")}%.1f / ${abDps("raw")}%.1f -> winner: $abWinner" else "not run"} |
+         || write-path A/B docs/sec (typed / columnar / raw, noop sink) | ${if (abRounds > 0) f"${abDps("typed")}%.1f / ${abDps("columnar")}%.1f / ${abDps("raw")}%.1f -> winner: $abWinner (margin $abMarginPct%.1f%% vs incumbent $abIncumbent -> route: $abRoute)" else "not run"} |
          || best wall local[8] / local[32] | $best8%.2f s / $best32%.2f s |
          || docs/sec local[8] / local[32] | $dps8%.1f / $dps32%.1f |
-         || scaling efficiency 8 -> 32 (supplementary) | $efficiency%.3f |
+         || scaling efficiency 8 -> 32 (supplementary; see single-box ceilings below) | $efficiency%.3f |
          || wall pairs (8s,32s) | $pairsStr |
+         |
+         |**Single-box ceilings at the saturated 8 -> 32 pair** (measured
+         |fresh THIS run): what this 32-vCPU host allows ANY workload when
+         |32 worker threads own every vCPU — the supplementary pair is
+         |graded against these, not against the ideal 1.0.
+         |
+         || 8 -> 32 ceiling | efficiency |
+         ||---|---|
+         || pure CPU (zero-alloc xorshift spin — absolute ceiling) | $hostCpuEff%.3f |
+         || pure allocation (4 KB array churn — the scan/decode share's bound) | $hostAllocEff%.3f |
+         || extraction engine (this run's calibration, above) | $engEff%.3f |
+         || the measured job (supplementary pair, above) | $efficiency%.3f |
          |
          |The executor rows run the SAME job through `local-cluster[n, 4,
          |4096]` — n genuine executor JVMs (own heap/GC/JIT, RPC task
@@ -439,7 +508,7 @@ object Bench {
     // number by up to ~2x between runs, so the md cites the best recorded
     // (measurement, same-run-ceiling) pair, not just this run's window
     val histLine =
-      f"""{"sha":"$gitSha","eff_4_16":$efficiency4%.3f,"eff_4_16_median":$effMedian4%.3f,"eff_8_32":$efficiency%.3f,"eff_exec_1_4":${j(effExec, execRan)},"eng_eff_exec_1_4":${j(effExecEng, execRan)},"jtc_exec":${j(jobToCeilingExec, execRan)},"jtc_exec_median":${j(jtcExecMedian, execRan)},"eng_eff_4_16":$engEff4%.3f,"eng_eff_8_32":$engEff%.3f,"job_to_ceiling_4_16":$jobToCeiling4%.3f,"dps_local32":$dps32%.1f,"dps_local16":$dps16%.1f,"dps_4_executors":${j(dpsE4, execRan, "%.1f")},"dps_write_raw":${j(abDps("raw"), abRounds > 0, "%.1f")},"dps_write_columnar":${j(abDps("columnar"), abRounds > 0, "%.1f")},"dps_write_typed":${j(abDps("typed"), abRounds > 0, "%.1f")}}"""
+      f"""{"sha":"$gitSha","eff_4_16":$efficiency4%.3f,"eff_4_16_median":$effMedian4%.3f,"eff_8_32":$efficiency%.3f,"eff_exec_1_4":${j(effExec, execRan)},"eng_eff_exec_1_4":${j(effExecEng, execRan)},"jtc_exec":${j(jobToCeilingExec, execRan)},"jtc_exec_median":${j(jtcExecMedian, execRan)},"eng_eff_4_16":$engEff4%.3f,"eng_eff_8_32":$engEff%.3f,"job_to_ceiling_4_16":$jobToCeiling4%.3f,"dps_local32":$dps32%.1f,"dps_local16":$dps16%.1f,"dps_4_executors":${j(dpsE4, execRan, "%.1f")},"dps_write_raw":${j(abDps("raw"), abRounds > 0, "%.1f")},"dps_write_columnar":${j(abDps("columnar"), abRounds > 0, "%.1f")},"dps_write_typed":${j(abDps("typed"), abRounds > 0, "%.1f")},"write_route":"$abRoute","host_cpu_eff_8_32":$hostCpuEff%.3f,"host_alloc_eff_8_32":$hostAllocEff%.3f}"""
     val histPath = Paths.get("BENCH/HISTORY.jsonl")
     Files.writeString(histPath, histLine + "\n",
       StandardOpenOption.CREATE, StandardOpenOption.APPEND)
@@ -457,10 +526,11 @@ object Bench {
         val m = s""""$key":([0-9.]+)""".r.findFirstMatchIn(l)
         m.map(_.group(1).toDouble)
       }.filter(_ <= cap).maxOption.getOrElse(0.0)
-    def histMedIn(lines: scala.collection.Seq[String], key: String): Double =
+    def histMedIn(lines: scala.collection.Seq[String], key: String,
+                  cap: Double = Double.PositiveInfinity): Double =
       median(lines.flatMap { l =>
         s""""$key":([0-9.]+)""".r.findFirstMatchIn(l).map(_.group(1).toDouble)
-      }.toSeq)
+      }.filter(_ <= cap).toSeq)
     val best4Cur = histMaxIn(histCur, "eff_4_16")
     val med4Cur = histMedIn(histCur, "eff_4_16")
     val bestJtcCur = histMaxIn(histCur, "job_to_ceiling_4_16")
@@ -476,8 +546,10 @@ object Bench {
     // statistic over that run's sane pairs; the median ACROSS runs is the
     // consistency claim (>= 3 invocations), immune to any one throttle
     // window — NOT the old median of in-run per-round ratios, which let
-    // wall-pair outliers inside a single run pollute the figure
-    val medJtcExec = histMedIn(hist, "jtc_exec")
+    // wall-pair outliers inside a single run pollute the figure. Same
+    // 1.25 plausibility cap as the best (an uncapped median would admit
+    // samples the best statistic rejects)
+    val medJtcExec = histMedIn(hist, "jtc_exec", cap = 1.25)
     val nJtcRuns = hist.count(l => """"jtc_exec":([0-9.]+)""".r.findFirstIn(l).isDefined)
     val histNote =
       f"""
@@ -496,13 +568,17 @@ object Bench {
          |topology): each cluster invocation ALSO measures a pure-engine
          |pass through the same executor JVMs, so the shape has its own
          |ceiling, and the statistic is computed with the best-wall
-         |discipline end to end: (1) wall pairs where the 4-executor side
-         |is SLOWER than the 1-executor side are discarded as throttle
-         |artifacts (physically impossible otherwise — same rationale as
-         |the >1.0-efficiency discard); (2) within a run, job and ceiling
-         |efficiencies use the best wall per side over the sane pairs;
-         |(3) ACROSS runs the cited figure is the MEDIAN-OF-BEST
-         |job-to-ceiling over >= 3 invocations — one run's luck cannot
+         |discipline end to end: (1) wall pairs whose implied efficiency
+         |falls outside the SYMMETRIC plausibility window [0.25, 1.25]
+         |are discarded — both tails, so the filter cannot only ever
+         |raise the figure; on this embarrassingly parallel job the
+         |below-window tail has only ever coincided with documented
+         |host-throttle windows, and the discard count is reported with
+         |every run so the residual selection effect is visible;
+         |(2) within a run, job and ceiling efficiencies use the best
+         |wall per side over the sane pairs; (3) ACROSS runs the cited
+         |figure is the MEDIAN-OF-BEST job-to-ceiling over >= 3
+         |invocations (same 1.25 cap as the best) — one run's luck cannot
          |carry it and one throttle window cannot sink it. The job's
          |1->4-executor efficiency tracks the same-topology ceiling at
          |0.86-0.98 regardless of the host's throttle state (best recorded

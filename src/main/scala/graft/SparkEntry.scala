@@ -758,7 +758,6 @@ object SparkEntry {
     // 64-bit read is actually proven); synth -> parse through the real
     // byte layouts, oracle replays the synthesis arithmetic
     "mm3_av_meta" -> ((s, dir) => {
-      import s.implicits._
       val media = Multimodal.synthTable(documents(s, dir)) { (id, payload) =>
         val n = payload.length
         if (id % 2 == 0)
@@ -771,16 +770,7 @@ object SparkEntry {
           (s"media://$id.mp4",
             graft.pipeline.MediaCodec.buildMp4(1000, (1L << 32) + n, payload, version = 1))
       }
-      media.as[graft.pipeline.Multimodal.MediaRow].mapPartitions { it =>
-        it.map { r =>
-          val info = graft.pipeline.MediaCodec.parse(r.content)
-            .getOrElse(graft.pipeline.MediaCodec.MediaInfo("unknown", 0, 0, 0))
-          (r.doc_id, r.media_ref, info.format, r.content.length.toLong,
-            info.sampleRate, info.channels, info.durationMs)
-        }
-      }.toDF("doc_id", "media_ref", "format", "n_bytes",
-          "sample_rate", "channels", "duration_ms")
-        .orderBy("doc_id")
+      Multimodal.avMeta(media).orderBy("doc_id")
     }),
 
     // mm4: DEEP pixel decode — REAL zlib inflate of the IDAT stream +
@@ -862,6 +852,25 @@ object SparkEntry {
             (br, bc) => ((id + br * 5L + bc * 11L) % 256).toInt - 128))
       }
       Multimodal.pixelStats(media).orderBy("doc_id", "channel")
+    }),
+
+    // mm8: PDF text-derived FEATURE branch — the pdf_layout branch's
+    // real feature path: extract the content-stream text (mm5's decode:
+    // /Length-bounded walk, FlateDecode for odd ids) and reduce it to
+    // the integer primitives the 8-dim float feature derives from
+    // (UTF-8 byte length, page count, token count = #spaces + 1, digit
+    // count). The oracle replays the primitives from the documents
+    // table without touching PDF bytes, so the whole decode+count path
+    // must reproduce them exactly.
+    "mm8_pdf_feature" -> ((s, dir) => {
+      import java.nio.charset.StandardCharsets.UTF_8
+      val media = Multimodal.synthTable(documents(s, dir)) { (id, payload) =>
+        val n = payload.length
+        (s"media://$id.pdf",
+          graft.pipeline.MediaCodec.buildPdfWithText(1 + n % 5,
+            s"DOC$id:".getBytes(UTF_8), payload, flate = id % 2 == 1))
+      }
+      Multimodal.pdfFeaturePrimitives(media).orderBy("doc_id")
     }),
 
     // ---- boilerplate main-content extraction (north-star branch) ----
@@ -1453,6 +1462,23 @@ object SparkEntry {
         "CAST(1 + octet_length(encode(text)) % 5 AS INT) AS n_pages, " +
         "'DOC' || CAST(doc_id AS VARCHAR) || ':' || text || '#END' AS text " +
         "FROM documents ORDER BY doc_id"),
+    // PDF-feature replay: the integer primitives of the text-derived
+    // feature, all recomputed from the expected extraction (mm5's
+    // concatenation) in plain SQL — UTF-8 byte length, page count
+    // formula, token count as #spaces + 1 (space and digit bytes are
+    // ASCII-only in UTF-8, so byte counts equal char counts for them),
+    // digit count. The Spark side must decode the PDF (FlateDecode for
+    // odd ids) and count over the SAME string to match.
+    "mm8_pdf_feature" ->
+      ("WITH f AS (SELECT doc_id, " +
+        "'DOC' || CAST(doc_id AS VARCHAR) || ':' || text || '#END' AS full_text, " +
+        "octet_length(encode(text)) AS n FROM documents) " +
+        "SELECT doc_id, 'media://' || CAST(doc_id AS VARCHAR) || '.pdf' AS media_ref, " +
+        "CAST(octet_length(encode(full_text)) AS BIGINT) AS text_bytes, " +
+        "CAST(1 + n % 5 AS INT) AS n_pages, " +
+        "CAST(length(full_text) - length(replace(full_text, ' ', '')) + 1 AS BIGINT) AS n_tokens, " +
+        "CAST(length(regexp_replace(full_text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digits " +
+        "FROM f ORDER BY doc_id"),
     // real-container replay: format/dims from the synthesis formulas, and
     // n_bytes = payload + the EXACT container overhead (PNG sig+IHDR+IDAT+
     // IEND framing; GIF header/LSD + comment sub-block length bytes; JPEG

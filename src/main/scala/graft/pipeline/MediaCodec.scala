@@ -923,7 +923,11 @@ object MediaCodec {
       // the keyword must be followed by EOL (§7.3.8.1) — "endstream"
       // contains "stream" too, so require the dict close right before
       val dictEnd = lastIndexOfAscii(b, ">>", cursor)
-      val dictStart = if (dictEnd < 0) -1 else lastIndexOfAscii(b, "<<", dictEnd)
+      // the matching "<<" must be found by nesting depth, not by the
+      // nearest one: stream dicts commonly hold nested dictionaries
+      // (/DecodeParms << ... >>), and the innermost "<<" would leave
+      // /Length outside the searched range, silently skipping the stream
+      val dictStart = if (dictEnd < 0) -1 else balancedDictStart(b, dictEnd)
       var bodyAt = cursor + 6
       if (bodyAt < b.length && b(bodyAt) == '\r') bodyAt += 1
       if (bodyAt < b.length && b(bodyAt) == '\n') bodyAt += 1
@@ -1038,6 +1042,26 @@ object MediaCodec {
         }
       } else i += 1
     }
+  }
+
+  /** Backward scan from the dict-closing ">>" at `dictEnd` to its
+    * depth-matching "<<" (ISO 32000-1 §7.3.7 dictionaries nest): walks
+    * two-byte tokens right-to-left, balancing ">>"/"<<" pairs. -1 when
+    * unbalanced. */
+  private def balancedDictStart(b: Array[Byte], dictEnd: Int): Int = {
+    var depth = 1
+    var i = dictEnd - 2
+    while (i >= 0) {
+      if (b(i) == '<' && b(i + 1) == '<') {
+        depth -= 1
+        if (depth == 0) return i
+        i -= 2
+      } else if (b(i) == '>' && b(i + 1) == '>') {
+        depth += 1
+        i -= 2
+      } else i -= 1
+    }
+    -1
   }
 
   private def lastIndexOfAscii(b: Array[Byte], needle: String, before: Int): Int = {

@@ -9,13 +9,17 @@ import java.nio.charset.StandardCharsets.UTF_8
   * columns with typed metadata. The header decode is REAL byte-layout
   * parsing (graft.pipeline.MediaCodec: PNG IHDR with CRC check, GIF
   * logical screen descriptor, JPEG SOFn marker walk, PDF page-tree
-  * /Count, WAV/MP4 chunk walks). PNG DEEP decode is ALSO real — zlib
-  * inflate + five-filter scanline reversal to raw pixels (the JVM ships
-  * the inflater), feeding `pixelStats` and the PNG feature vector. What
-  * remains a labeled STUB is deep decode of formats whose codecs
-  * genuinely need external libraries (JPEG huffman+DCT, GIF LZW, PDF
-  * text/layout): those drop in at `decodeAll` / `routeAndParse` with
-  * the same schema and batching.
+  * /Count, WAV/MP4 chunk walks). DEEP decode is ALSO real for PNG (zlib
+  * inflate + five-filter scanline reversal), GIF (from-scratch LZW +
+  * palette mapping, incl. interlace and local color tables), baseline
+  * JPEG (canonical Huffman entropy decode + dequant + IDCT, 4:4:4 and
+  * 2x-subsampled chroma), and PDF text (/Length-bounded stream walk +
+  * FlateDecode + show-op tokenizer) — all pure JVM, cross-validated
+  * against the JDK's independent javax.imageio codecs in MediaSpec.
+  * What remains a labeled STUB: progressive / arithmetic-coded / 12-bit
+  * JPEG, PDF raster layout, and non-Flate PDF stream filters (LZW, DCT)
+  * — those drop in at `decodeAll` / `routeAndParse` with the same
+  * schema and batching.
   */
 object Multimodal {
 
@@ -29,15 +33,17 @@ object Multimodal {
       height: Int,
       feature: Array[Float])
 
-  /** Feature extractor. For PNG and GIF the 8-dim vector is REAL pixel
-    * arithmetic — PNG: full zlib inflate + scanline unfilter; GIF: LZW
-    * decompress + palette mapping (MediaCodec.decodeImagePixels), no
+  /** Feature extractor. For PNG, GIF and baseline JPEG the 8-dim vector
+    * is REAL pixel arithmetic — PNG: full zlib inflate + scanline
+    * unfilter; GIF: LZW decompress + palette mapping; JPEG: Huffman
+    * entropy decode + dequant + IDCT (MediaCodec.decodeImagePixels), no
     * stub: dims 0-2 per-channel mean, 3-5 per-channel (max-min) spread,
     * both /255, dim 6 log2(pixel count)/32, dim 7 aspect ratio w/(w+h).
-    * For formats whose deep decode genuinely needs an external codec
-    * (JPEG huffman+DCT, PDF raster layout) it falls back to the labeled
-    * hash stub below. */
-  private[pipeline] def feature(content: Array[Byte]): Array[Float] =
+    * PDFs get a REAL text-derived feature (pdfFeature over the
+    * extracted content-stream text). Only genuinely undecodable content
+    * (unknown formats, progressive/arithmetic JPEG, non-Flate PDF
+    * streams) falls back to the labeled hash stub below. */
+  private[graft] def feature(content: Array[Byte]): Array[Float] =
     MediaCodec.decodeImagePixels(content) match {
       case Some(px) =>
         val n = px.width.toLong * px.height
@@ -51,13 +57,59 @@ object Multimodal {
         f(6) = (math.log(n.toDouble) / math.log(2.0) / 32.0).toFloat
         f(7) = px.width.toFloat / (px.width + px.height)
         f
-      case None => featureStub(content)
+      case None =>
+        pdfFeature(content).getOrElse(featureStub(content))
     }
 
-  /** STUB feature extractor for non-PNG formats: deterministic 8-dim
-    * "embedding" from content bytes (a real extractor — CLIP-style vision
-    * encoder etc. — drops in here; everything downstream only sees
-    * Array[Float]). */
+  /** Integer-exact primitives of the PDF text feature — the quantities
+    * the mm8 oracle replays: UTF-8 byte length of the extracted text,
+    * page count, token count (space-separated: #spaces + 1), digit
+    * count. Kept separate from the float dims so an external SQL engine
+    * verifies the decode path in exact integers. */
+  final case class PdfFeaturePrims(textBytes: Long, nPages: Int,
+                                   nTokens: Long, nDigits: Long)
+
+  private[graft] def pdfFeaturePrims(content: Array[Byte]): Option[PdfFeaturePrims] =
+    for {
+      info <- MediaCodec.parse(content) if info.format == "pdf"
+      text <- MediaCodec.extractPdfText(content)
+    } yield {
+      val bytes = text.getBytes(UTF_8)
+      var spaces = 0L
+      var digits = 0L
+      var i = 0
+      while (i < bytes.length) {
+        val c = bytes(i)
+        if (c == ' ') spaces += 1
+        if (c >= '0' && c <= '9') digits += 1
+        i += 1
+      }
+      PdfFeaturePrims(bytes.length.toLong, info.nPages, spaces + 1, digits)
+    }
+
+  /** REAL text-derived 8-dim feature for the pdf_layout branch: pure
+    * deterministic arithmetic over the integer primitives (power-of-two
+    * scales, so the float dims are exact functions of the oracled
+    * integers). None when the PDF's streams can't be decoded (non-Flate
+    * filters) — callers fall back to the labeled stub. */
+  private[graft] def pdfFeature(content: Array[Byte]): Option[Array[Float]] =
+    pdfFeaturePrims(content).map { p =>
+      val f = new Array[Float](8)
+      f(0) = math.min(p.textBytes, 65535L) / 65536.0f
+      f(1) = math.min(p.nPages, 63) / 64.0f
+      f(2) = math.min(p.nTokens, 4095L) / 4096.0f
+      f(3) = p.nDigits.toFloat / math.max(p.textBytes, 1L)
+      f(4) = (p.textBytes % 256) / 256.0f
+      f(5) = (p.textBytes.toFloat / math.max(p.nTokens, 1L)) / 64.0f
+      f(6) = (math.log(p.textBytes + 1.0) / math.log(2.0) / 32.0).toFloat
+      f(7) = 1.0f // branch marker: text-derived (vs pixel-derived = w/(w+h) < 1)
+      f
+    }
+
+  /** STUB feature extractor for genuinely undecodable content:
+    * deterministic 8-dim "embedding" from content bytes (a real
+    * extractor — CLIP-style vision encoder etc. — drops in here;
+    * everything downstream only sees Array[Float]). */
   private[pipeline] def featureStub(content: Array[Byte]): Array[Float] = {
     var h = 0xcbf29ce484222325L
     var i = 0
@@ -171,6 +223,47 @@ object Multimodal {
     }.toDF()
   }
 
+  final case class PdfFeatureRow(
+      doc_id: Long, media_ref: String, text_bytes: Long, n_pages: Int,
+      n_tokens: Long, n_digits: Long)
+
+  /** PDF text-feature primitives per doc (scan-local like pdfText): the
+    * integer-exact quantities the float feature dims derive from. PDFs
+    * whose streams can't be decoded yield no row. */
+  def pdfFeaturePrimitives(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { it =>
+      it.flatMap { r =>
+        pdfFeaturePrims(r.content).map(p =>
+          PdfFeatureRow(r.doc_id, r.media_ref, p.textBytes, p.nPages,
+            p.nTokens, p.nDigits))
+      }
+    }.toDF()
+  }
+
+  final case class AvMetaRow(
+      doc_id: Long, media_ref: String, format: String, n_bytes: Long,
+      sample_rate: Int, channels: Int, duration_ms: Long)
+
+  /** Audio/video branch decode (scan-local): WAV RIFF fmt/data chunk
+    * walk (sample rate, channels, PCM duration) and MP4 ISO-BMFF box
+    * walk to moov/mvhd (v0 32-bit and v1 64-bit times). Unparseable
+    * payloads yield format "unknown" with zero fields rather than
+    * failing the task — same contract as decodeAll. */
+  def avMeta(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { it =>
+      it.map { r =>
+        val info = MediaCodec.parse(r.content)
+          .getOrElse(MediaCodec.MediaInfo("unknown", 0, 0, 0))
+        AvMetaRow(r.doc_id, r.media_ref, info.format, r.content.length.toLong,
+          info.sampleRate, info.channels, info.durationMs)
+      }
+    }.toDF()
+  }
+
   final case class RoutedMeta(
       doc_id: Long, media_ref: String, branch: String,
       n_pages: Int, width: Int, height: Int)
@@ -183,7 +276,9 @@ object Multimodal {
     * EXPLICIT — a new format MediaCodec learns to sniff lands in
     * passthrough until this router is deliberately taught its branch,
     * never silently in the image branch. All header parsing is real
-    * (MediaCodec); only deep layout/pixel decode remains a stub seam. */
+    * (MediaCodec), as are the deep decodes behind each branch (pixelStats
+    * for raster images, pdfText/pdfFeaturePrimitives for pdf_layout,
+    * avMeta for av); only PDF raster layout remains a stub seam. */
   def routeAndParse(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._

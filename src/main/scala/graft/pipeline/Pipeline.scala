@@ -15,6 +15,25 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Dedup {
 
+  /** The JVM's single local-mode checkpoint dir (see connectedComponents):
+    * created on first use, cleaned by one shutdown hook. The Files.walk
+    * stream is closed (try/finally) — a leaked stream holds directory
+    * handles for the hook's whole run. */
+  private lazy val localCkptDir: java.nio.file.Path = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt")
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try {
+        val walk = java.nio.file.Files.walk(dir)
+        try {
+          import scala.jdk.CollectionConverters._
+          walk.iterator().asScala.toSeq
+            .sortBy(-_.getNameCount)
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        } finally walk.close()
+      } catch { case _: java.io.IOException => () }))
+    dir
+  }
+
   /** Exact dedup: keep the lowest doc_id per identical text.
     * Scale: hash-aggregate on xxhash64(text) — one shuffle on the hash
     * (map-side partial agg), never on the full text bytes. */
@@ -164,16 +183,11 @@ object Dedup {
         // the dir this operator creates is its own to clean: delete the
         // whole tree at JVM exit so repeated local runs/tests don't leak
         // per-iteration checkpoint files under /tmp (a cluster deployment
-        // sets an explicit dir and owns its lifecycle policy instead)
-        val dir = java.nio.file.Files.createTempDirectory("graft-ckpt")
-        Runtime.getRuntime.addShutdownHook(new Thread(() =>
-          try {
-            import scala.jdk.CollectionConverters._
-            java.nio.file.Files.walk(dir).iterator().asScala.toSeq
-              .sortBy(-_.getNameCount)
-              .foreach(p => java.nio.file.Files.deleteIfExists(p))
-          } catch { case _: java.io.IOException => () }))
-        spark.sparkContext.setCheckpointDir(dir.toString)
+        // sets an explicit dir and owns its lifecycle policy instead).
+        // ONE lazily-created dir + ONE shutdown hook per JVM — repeated
+        // calls in a long-lived JVM (test suites, notebooks) reuse it
+        // instead of accumulating hooks and temp dirs per invocation.
+        spark.sparkContext.setCheckpointDir(localCkptDir.toString)
       }
       else throw new IllegalStateException(
         "connectedComponents needs a reliable checkpoint dir on SHARED storage: " +
@@ -384,12 +398,19 @@ object Ann {
   }
 
   /** Quantize a driver-held vector BY Spark SQL (constant-folded `round`)
-    * so literals agree bit-for-bit with scan-projected `round(x*1000)`. */
+    * so literals agree bit-for-bit with scan-projected `round(x*1000)`.
+    * Memoized per vector CONTENTS: the result is a pure function of the
+    * vector (the frame only supplies the session), and a bench/serving
+    * loop that runs quantizedTopK and ivfTopK with the same query vector
+    * would otherwise pay one driver job per call for the same answer. */
+  private val quantizeMemo =
+    new java.util.concurrent.ConcurrentHashMap[Vector[Float], Array[Long]]()
   private def quantizeViaSql(emb: DataFrame, v: Array[Float]): Array[Long] =
-    emb.sparkSession.range(1)
-      .withColumn("qv0", typedLit(v))
-      .select(expr("transform(qv0, x -> cast(round(x*1000) as bigint))").as("q"))
-      .collect().head.getSeq[Long](0).toArray
+    quantizeMemo.computeIfAbsent(v.toVector, _ =>
+      emb.sparkSession.range(1)
+        .withColumn("qv0", typedLit(v))
+        .select(expr("transform(qv0, x -> cast(round(x*1000) as bigint))").as("q"))
+        .collect().head.getSeq[Long](0).toArray)
 
   /** Integer-quantized dot-product top-k (deterministic across engines:
     * values are exact integers, so DuckDB can oracle it). */
@@ -474,14 +495,18 @@ object Ann {
     val probes: Seq[Int] = cents.indices
       .sortBy(i => (cn2(i) - 2L * qdotWith(cents(i)), i)).take(nprobe)
 
-    var df = emb.select(col("vec_id"),
-      expr("transform(embedding, x -> cast(round(x*1000) as bigint))").as("qv"))
-    cents.indices.foreach(i => df = df.withColumn(s"c$i", typedLit(cents(i))))
+    // ONE projection computes all cell distances — the centroid literals
+    // are folded directly into each aggregate expression (no per-centroid
+    // withColumn pass, no literal array columns riding along in the row)
+    def qdotCent(c: Array[Long]): Column =
+      aggregate(zip_with(col("qv"), typedLit(c), (p, q) => p * q),
+        lit(0L), (a, v) => a + v)
     val dcols = cents.indices.map { i =>
-      (expr(s"aggregate(zip_with(qv, c$i, (p,q) -> p*q), 0L, (a,v) -> a+v)")
-        * lit(-2L) + lit(cn2(i))).as(s"d$i")
+      (qdotCent(cents(i)) * lit(-2L) + lit(cn2(i))).as(s"d$i")
     }
-    df = df.select(col("vec_id") +: col("qv") +: dcols: _*)
+    val df = emb.select(col("vec_id"),
+        expr("transform(embedding, x -> cast(round(x*1000) as bigint))").as("qv"))
+      .select(col("vec_id") +: col("qv") +: dcols: _*)
     // first-min argmin: cell i wins iff d_i <= every later d_j and no
     // earlier index won (matches the oracle's ORDER BY dist, cell LIMIT 1)
     def leAll(i: Int): Column =

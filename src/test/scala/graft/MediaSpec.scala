@@ -518,6 +518,56 @@ class MediaSpec extends AnyFunSuite {
     assert(MediaCodec.extractPdfText("not a pdf".getBytes(US_ASCII)).isEmpty)
   }
 
+  test("PDF text: stream dict with NESTED /DecodeParms dict is not skipped") {
+    // the stream dict carries a nested dictionary — real-world Flate PDFs
+    // commonly do (/DecodeParms) — so the dict-start search must match
+    // '<<'/'>>' nesting depth; the nearest '<<' would leave /Length
+    // outside the searched range and silently skip the stream
+    val raw = "BT (nested dict ok) Tj ET".getBytes(US_ASCII)
+    val deflater = new java.util.zip.Deflater(6)
+    deflater.setInput(raw); deflater.finish()
+    val zout = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](256)
+    while (!deflater.finished()) zout.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+    val z = zout.toByteArray
+    val pdf = ("%PDF-1.4\n" +
+      "2 0 obj << /Type /Pages /Count 1 /Kids [3 0 R] >> endobj\n" +
+      s"4 0 obj << /Length ${z.length} /Filter /FlateDecode " +
+      "/DecodeParms << /Predictor 1 /Columns 4 >> >> stream\n").getBytes(US_ASCII) ++
+      z ++ "\nendstream endobj\n%%EOF\n".getBytes(US_ASCII)
+    assert(MediaCodec.extractPdfText(pdf).contains("nested dict ok"))
+    // same for an uncompressed stream with a nested dict
+    val body = "BT (plain nested) Tj ET".getBytes(US_ASCII)
+    val pdf2 = ("%PDF-1.4\n" +
+      s"4 0 obj << /Foo << /Bar 1 >> /Length ${body.length} >> stream\n").getBytes(US_ASCII) ++
+      body ++ "\nendstream endobj\n%%EOF\n".getBytes(US_ASCII)
+    assert(MediaCodec.extractPdfText(pdf2).contains("plain nested"))
+  }
+
+  test("PDF feature: text-derived primitives are exact; stub only for undecodable") {
+    import graft.pipeline.Multimodal
+    val body = "word1 word2 99 bottles".getBytes(UTF_8)
+    val pdf = MediaCodec.buildPdfWithText(3, "H7:".getBytes(US_ASCII), body, flate = true)
+    val p = Multimodal.pdfFeaturePrims(pdf)
+    assert(p.isDefined)
+    // extracted text = "H7:word1 word2 99 bottles#END"
+    val full = "H7:word1 word2 99 bottles#END"
+    assert(p.get == Multimodal.PdfFeaturePrims(
+      full.getBytes(UTF_8).length.toLong, 3,
+      full.count(_ == ' ') + 1L, full.count(_.isDigit).toLong))
+    // feature() routes PDFs through the text-derived dims (marker dim 1.0)
+    val f = Multimodal.feature(pdf)
+    assert(f(7) == 1.0f)
+    assert(f(1) == 3 / 64.0f)
+    // an image still gets the pixel-derived feature (aspect marker < 1)
+    val png = MediaCodec.buildPngPixels(8, 8, (r, c, ch) => r + c + ch)
+    assert(Multimodal.feature(png)(7) < 1.0f)
+    // unknown bytes fall to the hash stub (deterministic, not a throw)
+    val junk = "not media at all".getBytes(UTF_8)
+    assert(java.util.Arrays.equals(Multimodal.feature(junk), Multimodal.feature(junk)))
+  }
+
   // ---- builder -> parser round-trips across payload boundaries ----
 
   test("synth -> parse round-trips dims through the real byte layout") {
