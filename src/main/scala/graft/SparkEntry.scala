@@ -854,6 +854,25 @@ object SparkEntry {
       Multimodal.pixelStats(media).orderBy("doc_id", "channel")
     }),
 
+    // mm9: DEEP 4:2:0 JPEG decode — the chroma-subsampled MCU shape real
+    // crawl JPEGs use: 4 luma blocks + Cb + Cr per MCU, per-component DC
+    // prediction, quarter-res chroma planes upsampled back to full res
+    // (libjpeg-compatible triangle filter), YCbCr -> RGB. The synth
+    // keeps chroma flat at 128 so every stage is SQL-replayable: pixel =
+    // dcY + 128 on all three channels — but the Spark side must still
+    // run the whole 4:2:0 path to produce it. General color content is
+    // conformance-tested against javax.imageio in MediaSpec.
+    "mm9_jpeg420_pixel_stats" -> ((s, dir) => {
+      val media = Multimodal.synthTable(documents(s, dir)) { (id, payload) =>
+        val n = payload.length
+        val w = 8 + n % 24; val h = 8 + n % 16
+        (s"media://$id.420.jpg",
+          graft.pipeline.JpegCodec.buildJpegDcOnly420(w, h,
+            (br, bc) => ((id + br * 5L + bc * 11L) % 256).toInt - 128))
+      }
+      Multimodal.pixelStats(media).orderBy("doc_id", "channel")
+    }),
+
     // mm8: PDF text-derived FEATURE branch — the pdf_layout branch's
     // real feature path: extract the content-stream text (mm5's decode:
     // /Length-bounded walk, FlateDecode for odd ids) and reduce it to
@@ -1449,6 +1468,24 @@ object SparkEntry {
         "FROM d, generate_series(0, 22) AS r(r), generate_series(0, 30) AS c(c), " +
         "(VALUES (0),(1),(2)) AS ch(ch) WHERE r.r < d.h AND c.c < d.w) " +
         "SELECT doc_id, 'media://' || CAST(doc_id AS VARCHAR) || '.jpg' AS media_ref, " +
+        "CAST(w AS INT) AS width, CAST(h AS INT) AS height, CAST(ch AS INT) AS channel, " +
+        "CAST(sum(v) AS BIGINT) AS px_sum, CAST(min(v) AS INT) AS px_min, " +
+        "CAST(max(v) AS INT) AS px_max " +
+        "FROM px GROUP BY doc_id, w, h, ch ORDER BY doc_id, ch"),
+    // 4:2:0 JPEG replay: same pixel formula as mm7 (flat-128 chroma
+    // makes RGB = luma exactly), but the Spark side reaches it only
+    // through the full chroma-subsampled path — MCU interleave with 4
+    // luma blocks per MCU, three DC prediction chains, quarter-res
+    // chroma upsample, color conversion. The oracle never touches any
+    // of that.
+    "mm9_jpeg420_pixel_stats" ->
+      ("WITH m AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents), " +
+        "d AS (SELECT doc_id, 8 + n % 24 AS w, 8 + n % 16 AS h FROM m), " +
+        "px AS (SELECT d.doc_id, d.w, d.h, ch.ch, " +
+        "(d.doc_id + (r.r // 8) * 5 + (c.c // 8) * 11) % 256 AS v " +
+        "FROM d, generate_series(0, 22) AS r(r), generate_series(0, 30) AS c(c), " +
+        "(VALUES (0),(1),(2)) AS ch(ch) WHERE r.r < d.h AND c.c < d.w) " +
+        "SELECT doc_id, 'media://' || CAST(doc_id AS VARCHAR) || '.420.jpg' AS media_ref, " +
         "CAST(w AS INT) AS width, CAST(h AS INT) AS height, CAST(ch AS INT) AS channel, " +
         "CAST(sum(v) AS BIGINT) AS px_sum, CAST(min(v) AS INT) AS px_min, " +
         "CAST(max(v) AS INT) AS px_max " +

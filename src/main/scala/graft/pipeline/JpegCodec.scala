@@ -6,13 +6,18 @@ import java.io.ByteArrayOutputStream
   * decoder — canonical code tables (Annex C), byte destuffing (F.1.2.3),
   * restart markers, DC prediction, AC run/size coding with ZRL/EOB —
   * feeding dequantization and a full 2D IDCT (A.3.3) with level shift,
-  * for sequential-DCT grayscale and 4:4:4 YCbCr images. Progressive,
-  * arithmetic-coded, subsampled, and 12-bit images return None.
+  * for sequential-DCT grayscale and YCbCr images at sampling factors 1
+  * and 2 per axis: 4:4:4, 4:2:2, 4:4:0 and 4:2:0 (the general
+  * interleaved MCU loop of A.2.3, subsampled chroma planes upsampled
+  * with libjpeg-compatible fancy triangle filters — what real crawl
+  * JPEGs overwhelmingly are). Progressive, arithmetic-coded, 12-bit and
+  * 3x/4x-sampled images return None.
   *
-  * The matching builder emits DC-ONLY grayscale JPEGs (every 8x8 block a
-  * flat value — the one case where ANY conformant IDCT is bit-exact, so
-  * an external SQL oracle can replay pixels): real marker stream, real
-  * Huffman codes, real byte stuffing. Conformance of both directions is
+  * The matching builders emit DC-ONLY JPEGs (every 8x8 block a flat
+  * value — the one case where ANY conformant IDCT is bit-exact, so an
+  * external SQL oracle can replay pixels): grayscale 4:4:4 and color
+  * 4:2:0 with flat-128 chroma. Real marker stream, real Huffman codes,
+  * real byte stuffing. Conformance of both directions is
   * cross-validated in MediaSpec against the JDK's independent
   * javax.imageio JPEG codec.
   */
@@ -242,7 +247,9 @@ object JpegCodec {
             val o = seg + 6 + 3 * ci
             Comp(b(o) & 0xff, (b(o + 1) & 0xf0) >> 4, b(o + 1) & 0x0f, b(o + 2) & 0xff)
           }
-          if (comps.exists(c => c.h != 1 || c.v != 1)) return None // 4:4:4 only
+          // sampling factors 1 and 2 cover 4:4:4, 4:2:2, 4:4:0 and 4:2:0
+          // — the shapes real crawl JPEGs use; 3x/4x factors stay out
+          if (comps.exists(c => c.h < 1 || c.h > 2 || c.v < 1 || c.v > 2)) return None
         case 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
           return None // progressive / arithmetic / lossless: out of scope
         case 0xdd => // DRI
@@ -273,18 +280,27 @@ object JpegCodec {
                          quant: Array[Array[Int]], dcTabs: Array[HuffTable],
                          acTabs: Array[HuffTable], w: Int, h: Int,
                          dri: Int): Option[(Int, Int, Array[Array[Int]])] = {
-    val bw = (w + 7) / 8
-    val bh = (h + 7) / 8
-    val planes = Array.fill(comps.length)(new Array[Int](w * h))
+    // general interleaved MCU loop (T.81 A.2.3): an MCU is 8*hmax x
+    // 8*vmax image pixels, each component contributing h_c x v_c blocks
+    // into its own (possibly subsampled) plane of ceil(w*h_c/hmax) x
+    // ceil(h*v_c/vmax) samples (A.1.1); subsampled planes are upsampled
+    // to full resolution after the scan
+    val hmax = comps.map(_.h).max
+    val vmax = comps.map(_.v).max
+    val mcusX = (w + 8 * hmax - 1) / (8 * hmax)
+    val mcusY = (h + 8 * vmax - 1) / (8 * vmax)
+    val cws = comps.map(c => (w * c.h + hmax - 1) / hmax)
+    val chs = comps.map(c => (h * c.v + vmax - 1) / vmax)
+    val planes = comps.indices.map(i => new Array[Int](cws(i) * chs(i))).toArray
     val preds = new Array[Int](comps.length)
     val coef = new Array[Int](64)
     val px = new Array[Int](64)
     val r = new BitReader(b, start)
     var mcu = 0
-    var by = 0
-    while (by < bh) {
-      var bx = 0
-      while (bx < bw) {
+    var my = 0
+    while (my < mcusY) {
+      var mx = 0
+      while (mx < mcusX) {
         if (dri > 0 && mcu > 0 && mcu % dri == 0) {
           if (!r.restart()) return None
           java.util.Arrays.fill(preds, 0)
@@ -296,52 +312,150 @@ object JpegCodec {
           val acT = acTabs(comp.acTab)
           val q = quant(comp.tq)
           if (dcT == null || acT == null || q == null) return None
-          java.util.Arrays.fill(coef, 0)
-          val t = r.decodeHuff(dcT)
-          if (t < 0 || t > 15) return None
-          val diffBits = if (t == 0) 0 else r.receive(t)
-          if (diffBits < 0) return None
-          preds(ci) += extend(diffBits, t)
-          coef(0) = preds(ci) * q(0)
-          var k = 1
-          var eob = false
-          while (k < 64 && !eob) {
-            val rs = r.decodeHuff(acT)
-            if (rs < 0) return None
-            val run = (rs & 0xf0) >> 4
-            val size = rs & 0x0f
-            if (size == 0) {
-              if (run == 15) k += 16 // ZRL
-              else eob = true
-            } else {
-              k += run
-              if (k > 63) return None
-              val vbits = r.receive(size)
-              if (vbits < 0) return None
-              coef(Zig(k)) = extend(vbits, size) * q(Zig(k))
-              k += 1
+          var bv = 0
+          while (bv < comp.v) {
+            var bh2 = 0
+            while (bh2 < comp.h) {
+              java.util.Arrays.fill(coef, 0)
+              val t = r.decodeHuff(dcT)
+              if (t < 0 || t > 15) return None
+              val diffBits = if (t == 0) 0 else r.receive(t)
+              if (diffBits < 0) return None
+              preds(ci) += extend(diffBits, t)
+              coef(0) = preds(ci) * q(0)
+              var k = 1
+              var eob = false
+              while (k < 64 && !eob) {
+                val rs = r.decodeHuff(acT)
+                if (rs < 0) return None
+                val run = (rs & 0xf0) >> 4
+                val size = rs & 0x0f
+                if (size == 0) {
+                  if (run == 15) k += 16 // ZRL
+                  else eob = true
+                } else {
+                  k += run
+                  if (k > 63) return None
+                  val vbits = r.receive(size)
+                  if (vbits < 0) return None
+                  coef(Zig(k)) = extend(vbits, size) * q(Zig(k))
+                  k += 1
+                }
+              }
+              idctBlock(coef, px)
+              // copy the block into the component plane, cropping at its edge
+              val x0 = (mx * comp.h + bh2) * 8
+              val y0 = (my * comp.v + bv) * 8
+              val cw = cws(ci); val chh = chs(ci)
+              var yy = 0
+              while (yy < 8 && y0 + yy < chh) {
+                var xx = 0
+                while (xx < 8 && x0 + xx < cw) {
+                  planes(ci)((y0 + yy) * cw + (x0 + xx)) = px(yy * 8 + xx)
+                  xx += 1
+                }
+                yy += 1
+              }
+              bh2 += 1
             }
-          }
-          idctBlock(coef, px)
-          // copy the block into the plane, cropping at the image edge
-          val x0 = bx * 8; val y0 = by * 8
-          var yy = 0
-          while (yy < 8 && y0 + yy < h) {
-            var xx = 0
-            while (xx < 8 && x0 + xx < w) {
-              planes(ci)((y0 + yy) * w + (x0 + xx)) = px(yy * 8 + xx)
-              xx += 1
-            }
-            yy += 1
+            bv += 1
           }
           ci += 1
         }
         mcu += 1
-        bx += 1
+        mx += 1
       }
-      by += 1
+      my += 1
     }
-    Some((w, h, planes))
+    val full = comps.indices.map { i =>
+      if (cws(i) == w && chs(i) == h) planes(i)
+      else upsample(planes(i), cws(i), chs(i), w, h)
+    }.toArray
+    Some((w, h, full))
+  }
+
+  /** Upsample a subsampled component plane (cw x ch) to the full image
+    * resolution (w x h), matching libjpeg's decoder defaults so the
+    * ImageIO cross-validation agrees sample-for-sample: 2x horizontal
+    * and 2x2 use the "fancy" triangle filter (3/4 + 1/4 weights per
+    * axis, i.e. 9-3-3-1 for 2x2, with libjpeg's exact rounding offsets —
+    * jdsample.c h2v1_fancy_upsample / h2v2_fancy_upsample, the de-facto
+    * standard JFIF reconstruction); 2x vertical-only replicates rows
+    * (libjpeg uses plain int_upsample for that shape). Constant input
+    * reproduces exactly under all paths. */
+  private def upsample(p: Array[Int], cw: Int, ch: Int, w: Int, h: Int): Array[Int] = {
+    val hx = cw < w // needs 2x horizontal
+    val vx = ch < h // needs 2x vertical
+    val out = new Array[Int](w * h)
+    if (hx && vx) {
+      // h2v2 fancy: output row pair per input row; colsum = 3*cur + adj
+      var r = 0
+      while (r < ch) {
+        var half = 0
+        while (half < 2) {
+          val or = 2 * r + half
+          if (or < h) {
+            val adj = if (half == 0) math.max(r - 1, 0) else math.min(r + 1, ch - 1)
+            def v(i: Int): Int = 3 * p(r * cw + i) + p(adj * cw + i)
+            if (cw == 1) {
+              out(or * w) = (v(0) * 4 + 8) >> 4
+              if (1 < w) out(or * w + 1) = (v(0) * 4 + 7) >> 4
+            } else {
+              var i = 0
+              while (i < cw) {
+                val vi = v(i)
+                val even =
+                  if (i == 0) (vi * 4 + 8) >> 4
+                  else (vi * 3 + v(i - 1) + 8) >> 4
+                val odd =
+                  if (i == cw - 1) (vi * 4 + 7) >> 4
+                  else (vi * 3 + v(i + 1) + 7) >> 4
+                if (2 * i < w) out(or * w + 2 * i) = even
+                if (2 * i + 1 < w) out(or * w + 2 * i + 1) = odd
+                i += 1
+              }
+            }
+          }
+          half += 1
+        }
+        r += 1
+      }
+    } else if (hx) {
+      // h2v1 fancy: edge samples replicate, interior is a 3/4-1/4 triangle
+      var r = 0
+      while (r < ch && r < h) {
+        val base = r * cw
+        if (cw == 1) {
+          out(r * w) = p(base)
+          if (1 < w) out(r * w + 1) = p(base)
+        } else {
+          var i = 0
+          while (i < cw) {
+            val cur = p(base + i)
+            val even =
+              if (i == 0) cur
+              else (cur * 3 + p(base + i - 1) + 1) >> 2
+            val odd =
+              if (i == cw - 1) cur
+              else (cur * 3 + p(base + i + 1) + 2) >> 2
+            if (2 * i < w) out(r * w + 2 * i) = even
+            if (2 * i + 1 < w) out(r * w + 2 * i + 1) = odd
+            i += 1
+          }
+        }
+        r += 1
+      }
+    } else {
+      // vertical-only 2x: row replication (libjpeg int_upsample)
+      var or = 0
+      while (or < h) {
+        val sr = math.min(or / 2, ch - 1)
+        var i = 0
+        while (i < w) { out(or * w + i) = p(sr * cw + i); i += 1 }
+        or += 1
+      }
+    }
+    out
   }
 
   /** Decode to per-channel stats (MediaCodec.ImagePixels): grayscale maps
@@ -448,6 +562,105 @@ object JpegCodec {
         bx += 1
       }
       by += 1
+    }
+    if (bitCnt > 0) { // pad the final byte with 1s (T.81 F.1.2.3)
+      val pad = (bitBuf << (8 - bitCnt)) | ((1 << (8 - bitCnt)) - 1)
+      body.write(pad & 0xff)
+      if ((pad & 0xff) == 0xff) body.write(0x00)
+    }
+    val bb = body.toByteArray
+    out.write(bb, 0, bb.length)
+    u16(0xffd9) // EOI
+    out.toByteArray
+  }
+
+  /** DC-only 4:2:0 YCbCr baseline JPEG: Y sampled 2x2 (full res), Cb/Cr
+    * 1x1 (quarter res) — the real-world chroma-subsampled MCU interleave
+    * (4 Y blocks + Cb + Cr per MCU). Luma block (br, bc) is the flat
+    * value `dcY(br, bc) + 128`; BOTH chroma planes are flat 128 (DC diff
+    * 0 every block), so after ANY conformant upsampling the chroma stays
+    * exactly 128 and RGB = the luma value on every channel — keeping the
+    * whole 4:2:0 path (MCU loop, per-component DC prediction, upsample,
+    * color convert) SQL-replayable: pixel = dcY(r/8, c/8) + 128. Same
+    * Q(0,0)=8 identity trick and canonical Huffman tables as
+    * buildJpegDcOnly. `dcY` values must lie in [-128, 127]. */
+  def buildJpegDcOnly420(w: Int, h: Int, dcY: (Int, Int) => Int): Array[Byte] = {
+    require(w > 0 && h > 0, s"buildJpegDcOnly420: bad dims ${w}x$h")
+    val out = new ByteArrayOutputStream(w * h / 8 + 512)
+    def u8(v: Int): Unit = out.write(v & 0xff)
+    def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
+    u16(0xffd8) // SOI
+    u16(0xffe0); u16(16)
+    "JFIF".getBytes("US-ASCII").foreach(c => u8(c)); u8(0)
+    u8(1); u8(1); u8(0); u16(1); u16(1); u8(0); u8(0)
+    // DQT table 0: Q(0,0)=8, rest 16 (all components share it)
+    u16(0xffdb); u16(2 + 1 + 64); u8(0x00)
+    u8(8); (1 until 64).foreach(_ => u8(16))
+    // SOF0: 8-bit, 3 components — Y id 1 sampling 2x2, Cb id 2 1x1, Cr id 3 1x1
+    u16(0xffc0); u16(8 + 9); u8(8); u16(h); u16(w); u8(3)
+    u8(1); u8(0x22); u8(0)
+    u8(2); u8(0x11); u8(0)
+    u8(3); u8(0x11); u8(0)
+    // DHT DC table 0: categories 0-11 at code length 4 (shared)
+    u16(0xffc4); u16(2 + 17 + 12); u8(0x00)
+    val dcBits = Array(0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+    dcBits.foreach(u8); (0 until 12).foreach(u8)
+    // DHT AC table 0: single EOB symbol at code length 2 (shared)
+    u16(0xffc4); u16(2 + 17 + 1); u8(0x10)
+    val acBits = Array(0, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+    acBits.foreach(u8); u8(0x00)
+    // SOS: 3 components, all on DC/AC table 0
+    u16(0xffda); u16(6 + 6); u8(3)
+    u8(1); u8(0x00); u8(2); u8(0x00); u8(3); u8(0x00)
+    u8(0); u8(63); u8(0)
+    var bitBuf = 0
+    var bitCnt = 0
+    val body = new ByteArrayOutputStream(w * h / 8)
+    def putBits(v: Int, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) {
+        bitBuf = (bitBuf << 1) | ((v >> i) & 1)
+        bitCnt += 1
+        if (bitCnt == 8) {
+          body.write(bitBuf & 0xff)
+          if ((bitBuf & 0xff) == 0xff) body.write(0x00) // byte stuffing
+          bitBuf = 0; bitCnt = 0
+        }
+        i -= 1
+      }
+    }
+    def putDcDiff(diff: Int): Unit = {
+      val mag = math.abs(diff)
+      var t = 0
+      while ((mag >> t) != 0) t += 1
+      putBits(t, 4) // canonical code for category t at length 4 IS t
+      if (t > 0) putBits(if (diff >= 0) diff else diff + (1 << t) - 1, t)
+      putBits(0, 2) // AC EOB
+    }
+    val mcusX = (w + 15) / 16
+    val mcusY = (h + 15) / 16
+    var predY = 0
+    var my = 0
+    while (my < mcusY) {
+      var mx = 0
+      while (mx < mcusX) {
+        var bv = 0
+        while (bv < 2) {
+          var bh = 0
+          while (bh < 2) {
+            val v = dcY(my * 2 + bv, mx * 2 + bh)
+            require(v >= -128 && v <= 127, s"dcY out of range: $v")
+            putDcDiff(v - predY)
+            predY = v
+            bh += 1
+          }
+          bv += 1
+        }
+        putDcDiff(0) // Cb block: stays at 0 -> flat 128
+        putDcDiff(0) // Cr block
+        mx += 1
+      }
+      my += 1
     }
     if (bitCnt > 0) { // pad the final byte with 1s (T.81 F.1.2.3)
       val pad = (bitBuf << (8 - bitCnt)) | ((1 << (8 - bitCnt)) - 1)

@@ -712,56 +712,81 @@ object MediaCodec {
     Some(out.toByteArray)
   }
 
-  /** 256-color GIF89a with REAL LZW-compressed indexed pixel data: global
-    * color table `palette` (768 bytes, rgb triples), pixel (r,c) = palette
-    * index `index(r, c) & 0xff`. Layout: header+LSD (13) + GCT (768) +
-    * image descriptor (10) + LZW min code size (1) + sub-blocked code
-    * stream + block terminator + trailer. */
+  /** Interlaced GIF row schedule (GIF89a spec Appendix E): the order
+    * display rows appear in the data stream — pass 1 every 8th row from
+    * 0, pass 2 every 8th from 4, pass 3 every 4th from 2, pass 4 every
+    * 2nd from 1. */
+  private[graft] def interlaceOrder(h: Int): Array[Int] = {
+    val order = new Array[Int](h)
+    var k = 0
+    for ((start, step) <- Seq((0, 8), (4, 8), (2, 4), (1, 2))) {
+      var r = start
+      while (r < h) { order(k) = r; k += 1; r += step }
+    }
+    order
+  }
+
+  /** 256-color GIF89a with REAL LZW-compressed indexed pixel data:
+    * 768-byte rgb `palette` written as the GLOBAL color table by default
+    * or as a LOCAL color table on the image descriptor (`localPalette` —
+    * the other placement real-world GIFs use), pixel (r,c) = palette
+    * index `index(r, c) & 0xff`. `interlaced` stores rows in the 4-pass
+    * Appendix E order and sets the descriptor flag. Layout: header+LSD
+    * (13) [+ GCT 768] + image descriptor (10) [+ LCT 768] + LZW min code
+    * size (1) + sub-blocked code stream + block terminator + trailer. */
   def buildGifPixels(w: Int, h: Int, palette: Array[Byte],
-                     index: (Int, Int) => Int): Array[Byte] = {
+                     index: (Int, Int) => Int,
+                     interlaced: Boolean = false,
+                     localPalette: Boolean = false): Array[Byte] = {
     require(w > 0 && h > 0, s"buildGifPixels: bad dims ${w}x$h")
     require(palette.length == 768, s"palette must be 768 bytes, got ${palette.length}")
     val out = new ByteArrayOutputStream(w * h + 820)
     out.write("GIF89a".getBytes(US_ASCII), 0, 6)
     out.write(w & 0xff); out.write((w >>> 8) & 0xff)
     out.write(h & 0xff); out.write((h >>> 8) & 0xff)
-    out.write(0xf7) // GCT present, 8-bit color resolution, GCT size 2^8
+    if (localPalette) out.write(0x70) // no GCT, 8-bit color resolution
+    else out.write(0xf7) // GCT present, 8-bit color resolution, size 2^8
     out.write(0); out.write(0) // bg color 0, aspect 0
-    out.write(palette, 0, 768)
+    if (!localPalette) out.write(palette, 0, 768)
     out.write(0x2c) // image descriptor
     out.write(0); out.write(0); out.write(0); out.write(0) // left, top
     out.write(w & 0xff); out.write((w >>> 8) & 0xff)
     out.write(h & 0xff); out.write((h >>> 8) & 0xff)
-    out.write(0) // no local color table, not interlaced
+    // descriptor flags: LCT present (0x80 | size 7 -> 2^8) / interlace 0x40
+    out.write((if (localPalette) 0x87 else 0) | (if (interlaced) 0x40 else 0))
+    if (localPalette) out.write(palette, 0, 768)
     out.write(8) // LZW min code size
     val indices = new Array[Byte](w * h)
-    var r = 0
-    while (r < h) {
+    val rowAt = if (interlaced) interlaceOrder(h) else Array.tabulate(h)(identity)
+    var k = 0
+    while (k < h) {
+      val r = rowAt(k)
       var c = 0
-      while (c < w) { indices(r * w + c) = (index(r, c) & 0xff).toByte; c += 1 }
-      r += 1
+      while (c < w) { indices(k * w + c) = (index(r, c) & 0xff).toByte; c += 1 }
+      k += 1
     }
     val z = lzwCompress(indices, 8)
     var i = 0
     while (i < z.length) {
-      val k = math.min(255, z.length - i)
-      out.write(k)
-      out.write(z, i, k)
-      i += k
+      val k2 = math.min(255, z.length - i)
+      out.write(k2)
+      out.write(z, i, k2)
+      i += k2
     }
     out.write(0) // block terminator
     out.write(0x3b) // trailer
     out.toByteArray
   }
 
-  /** DEEP GIF decode to per-channel integer stats: parse LSD + global
-    * color table, walk extensions to the first image descriptor, LZW-
-    * decompress the index stream, map indices through the active palette.
-    * Interlaced images are accepted: interlacing only permutes SCANLINE
-    * order (GIF89a spec App. E), and per-channel stats are order-
-    * invariant — a future raw-pixel API would deinterlace here instead.
-    * None for missing palettes or corrupt streams. */
-  def decodeGifPixels(b: Array[Byte]): Option[ImagePixels] = {
+  /** DEEP GIF decode to DISPLAY-ORDERED palette indices + the active
+    * palette: parse LSD + global color table, walk extensions to the
+    * first image descriptor, honor a LOCAL color table when present,
+    * LZW-decompress the index stream, and DEINTERLACE (GIF89a spec
+    * App. E 4-pass schedule) when the descriptor flags it — row k of the
+    * data stream lands on its display row, so callers see raster order
+    * regardless of storage order. Every index is validated against the
+    * palette size. None for missing palettes or corrupt streams. */
+  private[graft] def decodeGifIndexed(b: Array[Byte]): Option[(Int, Int, Array[Byte], Array[Byte])] = {
     if (!(b.length >= 13 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
       b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a')) return None
     val packed = b(10) & 0xff
@@ -784,6 +809,7 @@ object MediaCodec {
           if (i + 10 > b.length) return None
           val w = rdLe16(b, i + 5); val h = rdLe16(b, i + 7)
           val ipacked = b(i + 9) & 0xff
+          val interlaced = (ipacked & 0x40) != 0
           i += 10
           var pal = gct
           if ((ipacked & 0x80) != 0) {
@@ -807,31 +833,26 @@ object MediaCodec {
             i += 1 + k
           }
           if (i >= b.length) return None
-          return lzwDecompress(z.toByteArray, minCode, w * h).flatMap { idx =>
+          return lzwDecompress(z.toByteArray, minCode, w * h).flatMap { data =>
             val nColors = pal.length / 3
-            val sums = new Array[Long](3)
-            val mins = Array.fill(3)(255)
-            val maxs = new Array[Int](3)
             var p = 0
-            var bad = false
-            while (p < idx.length && !bad) {
-              val ci = idx(p) & 0xff
-              if (ci >= nColors) bad = true // index outside the palette
-              else {
-                var ch = 0
-                while (ch < 3) {
-                  val v = pal(ci * 3 + ch) & 0xff
-                  sums(ch) += v
-                  if (v < mins(ch)) mins(ch) = v
-                  if (v > maxs(ch)) maxs(ch) = v
-                  ch += 1
-                }
-              }
+            while (p < data.length) {
+              if ((data(p) & 0xff) >= nColors) return None // outside the palette
               p += 1
             }
-            if (bad) None
-            else Some(ImagePixels(w, h,
-              Array.tabulate(3)(ch => ChannelStats(sums(ch), mins(ch), maxs(ch)))))
+            val idx =
+              if (!interlaced) data
+              else {
+                val out = new Array[Byte](w * h)
+                val rowAt = interlaceOrder(h)
+                var k = 0
+                while (k < h) {
+                  System.arraycopy(data, k * w, out, rowAt(k) * w, w)
+                  k += 1
+                }
+                out
+              }
+            Some((w, h, idx, pal))
           }
         case 0x3b => return None // trailer before any image
         case _ => return None // unknown block: bail rather than guess
@@ -839,6 +860,31 @@ object MediaCodec {
     }
     None
   }
+
+  /** DEEP GIF decode to per-channel integer stats (the pixelStats /
+    * feature path): decodeGifIndexed + palette mapping, reduced without
+    * materializing the RGB expansion. */
+  def decodeGifPixels(b: Array[Byte]): Option[ImagePixels] =
+    decodeGifIndexed(b).map { case (w, h, idx, pal) =>
+      val sums = new Array[Long](3)
+      val mins = Array.fill(3)(255)
+      val maxs = new Array[Int](3)
+      var p = 0
+      while (p < idx.length) {
+        val ci = idx(p) & 0xff
+        var ch = 0
+        while (ch < 3) {
+          val v = pal(ci * 3 + ch) & 0xff
+          sums(ch) += v
+          if (v < mins(ch)) mins(ch) = v
+          if (v > maxs(ch)) maxs(ch) = v
+          ch += 1
+        }
+        p += 1
+      }
+      ImagePixels(w, h,
+        Array.tabulate(3)(ch => ChannelStats(sums(ch), mins(ch), maxs(ch))))
+    }
 
   // ----------------------------------------------- PDF deep (text) decode
   //

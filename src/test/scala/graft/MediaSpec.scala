@@ -408,6 +408,89 @@ class MediaSpec extends AnyFunSuite {
     }
   }
 
+  test("GIF interlace + local color table: ordered decode deinterlaces exactly") {
+    def idx(r: Int, c: Int): Int = (r * 41 + c * 13 + 7) % 256
+    // h=19 exercises all four interlace passes with a ragged tail
+    val w = 11; val h = 19
+    for ((inter, local) <- Seq((true, false), (false, true), (true, true))) {
+      val gif = MediaCodec.buildGifPixels(w, h, testPalette, idx,
+        interlaced = inter, localPalette = local)
+      val dec = MediaCodec.decodeGifIndexed(gif)
+      assert(dec.isDefined, s"interlaced=$inter local=$local rejected")
+      val (dw, dh, got, pal) = dec.get
+      assert(dw == w && dh == h)
+      assert(java.util.Arrays.equals(pal, testPalette))
+      for (r <- 0 until h; c <- 0 until w)
+        assert((got(r * w + c) & 0xff) == idx(r, c),
+          s"pixel ($r,$c) interlaced=$inter local=$local")
+      // stats agree with the plain variant (order-invariant cross-check)
+      val plain = MediaCodec.buildGifPixels(w, h, testPalette, idx)
+      assert(MediaCodec.decodeGifPixels(gif).get.stats.toSeq ==
+        MediaCodec.decodeGifPixels(plain).get.stats.toSeq)
+    }
+  }
+
+  test("GIF interlace conformance: ImageIO reads our interlaced local-palette GIF") {
+    // javax.imageio deinterlaces independently — if our builder's 4-pass
+    // row schedule were self-consistent but wrong, this cross-read would
+    // place rows differently and fail per-pixel
+    def idx(r: Int, c: Int): Int = (r * 7 + c * 31 + 5) % 256
+    val w = 40; val h = 25
+    val gif = MediaCodec.buildGifPixels(w, h, testPalette, idx,
+      interlaced = true, localPalette = true)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(gif))
+    assert(img != null, "ImageIO could not read our interlaced GIF")
+    assert(img.getWidth == w && img.getHeight == h)
+    val pal = testPalette
+    for (r <- 0 until h; c <- 0 until w) {
+      val i = idx(r, c)
+      val expected = 0xff000000 | ((pal(i * 3) & 0xff) << 16) |
+        ((pal(i * 3 + 1) & 0xff) << 8) | (pal(i * 3 + 2) & 0xff)
+      assert(img.getRGB(c, r) == expected, s"pixel ($r,$c)")
+    }
+  }
+
+  test("GIF interlace conformance: our ordered decode reads ImageIO's interlaced GIFs") {
+    val w = 33; val h = 21
+    val pal = testPalette
+    val rs = new Array[Byte](256); val gs = new Array[Byte](256); val bs = new Array[Byte](256)
+    for (i <- 0 until 256) { rs(i) = pal(i * 3); gs(i) = pal(i * 3 + 1); bs(i) = pal(i * 3 + 2) }
+    val icm = new java.awt.image.IndexColorModel(8, 256, rs, gs, bs)
+    val bi = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+    def idx(r: Int, c: Int): Int = (r * 11 + c * 3 + 9) % 256
+    for (r <- 0 until h; c <- 0 until w)
+      bi.getRaster.setSample(c, r, 0, idx(r, c))
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val param = writer.getDefaultWriteParam
+    param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT) // = interlaced
+    val baos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(bi, null, null), param)
+    ios.close(); writer.dispose()
+    val bytes = baos.toByteArray
+    // confirm the writer actually set the interlace flag (descriptor is
+    // after the 13-byte header + GCT when present)
+    val packed = bytes(10) & 0xff
+    val descAt = 13 + (if ((packed & 0x80) != 0) 3 * (1 << ((packed & 7) + 1)) else 0)
+    assert((bytes(descAt) & 0xff) == 0x2c, "unexpected GIF layout from ImageIO")
+    assert((bytes(descAt + 9) & 0x40) != 0, "ImageIO did not write an interlaced GIF")
+    val dec = MediaCodec.decodeGifIndexed(bytes)
+    assert(dec.isDefined, "our decoder rejected ImageIO's interlaced GIF")
+    val (dw, dh, got, gotPal) = dec.get
+    assert(dw == w && dh == h)
+    for (r <- 0 until h; c <- 0 until w) {
+      val ci = got(r * w + c) & 0xff
+      val rgb = ((gotPal(ci * 3) & 0xff) << 16) | ((gotPal(ci * 3 + 1) & 0xff) << 8) |
+        (gotPal(ci * 3 + 2) & 0xff)
+      val want = idx(r, c)
+      val wantRgb = ((pal(want * 3) & 0xff) << 16) | ((pal(want * 3 + 1) & 0xff) << 8) |
+        (pal(want * 3 + 2) & 0xff)
+      assert(rgb == wantRgb, s"pixel ($r,$c)")
+    }
+  }
+
   // ---- deep JPEG decode (huffman entropy + IDCT) ----
 
   test("JPEG DC-only round-trips: huffman decode + flat-block IDCT exact") {
@@ -477,6 +560,112 @@ class MediaSpec extends AnyFunSuite {
     }
     info(s"exact pixels: $exact/${w * h} (rest within +-1)")
     assert(exact > w * h / 2) // the overwhelming majority must agree exactly
+  }
+
+  test("JPEG 4:2:0 DC-only round-trips: MCU interleave + upsample + convert exact") {
+    import graft.pipeline.JpegCodec
+    def dcY(br: Int, bc: Int): Int = ((br * 5 + bc * 11 + 3) % 256) - 128
+    // non-multiple-of-16 dims: partial MCUs on both axes, chroma crop
+    val w = 21; val h = 13
+    val jpg = JpegCodec.buildJpegDcOnly420(w, h, dcY)
+    // the header walk must see a 3-component SOF with 2x2 luma
+    assert(MediaCodec.parse(jpg).contains(MediaInfo("jpeg", w, h, 0)))
+    val st = JpegCodec.decodeJpegPixels(jpg)
+    assert(st.isDefined)
+    assert(st.get.width == w && st.get.height == h)
+    // flat-128 chroma -> RGB = luma on every channel, exactly
+    val vs = for (r <- 0 until h; c <- 0 until w) yield dcY(r / 8, c / 8) + 128
+    for (ch <- 0 until 3)
+      assert(st.get.stats(ch) ==
+        MediaCodec.ChannelStats(vs.map(_.toLong).sum, vs.min, vs.max), s"ch $ch")
+    // truncated entropy data -> None
+    assert(JpegCodec.decodeJpegPixels(jpg.take(jpg.length / 2)).isEmpty)
+  }
+
+  test("JPEG 4:2:0 conformance: ImageIO decodes our DC-only 4:2:0 output exact") {
+    import graft.pipeline.JpegCodec
+    def dcY(br: Int, bc: Int): Int = ((br * 17 + bc * 29 + 60) % 250) - 125
+    val w = 40; val h = 24
+    val jpg = JpegCodec.buildJpegDcOnly420(w, h, dcY)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpg))
+    assert(img != null, "ImageIO could not read our 4:2:0 JPEG at all")
+    assert(img.getWidth == w && img.getHeight == h)
+    // flat luma blocks + constant-128 chroma: every conformant decoder
+    // (any IDCT, any upsampling filter) must reproduce gray(v) exactly
+    for (r <- 0 until h; c <- 0 until w) {
+      val v = dcY(r / 8, c / 8) + 128
+      val expected = 0xff000000 | (v << 16) | (v << 8) | v
+      assert(img.getRGB(c, r) == expected,
+        s"pixel ($r,$c): got ${Integer.toHexString(img.getRGB(c, r))} want gray $v")
+    }
+  }
+
+  test("JPEG 4:2:0 conformance: our decoder reads ImageIO-written color JPEGs") {
+    import graft.pipeline.JpegCodec
+    // a real-world color encoder: quant tables, AC coefficients, chroma
+    // subsampling (the JDK writer's default for 3-band images). Our
+    // decode (MCU interleave + fancy upsample + YCbCr->RGB) is compared
+    // against ImageIO's own decode of the same bytes: both IDCTs are
+    // conformant (+-1 per T.81 Annex A), upsampling mixes neighbors and
+    // color conversion scales by up to 1.77 — so allow +-3 per sample
+    // and require the bulk to sit within +-1.
+    val w = 48; val h = 32
+    val bi = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (r <- 0 until h; c <- 0 until w) {
+      val red = (r * 7 + c * 3) % 256
+      val grn = (r * 2 + c * 11 + 40) % 256
+      val blu = (r * 13 + c + 90) % 256
+      bi.setRGB(c, r, 0xff000000 | (red << 16) | (grn << 8) | blu)
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(bi, "jpg", baos), "no JPEG writer in this JDK")
+    val bytes = baos.toByteArray
+    val ours = JpegCodec.decodePlanes(bytes)
+    assert(ours.isDefined, "our decoder rejected an ImageIO-written color JPEG")
+    val (dw, dh, planes) = ours.get
+    assert(dw == w && dh == h && planes.length == 3)
+    // record what the writer actually emitted (expected: subsampled chroma)
+    val sof = {
+      var i = 2; var res = ""
+      while (res.isEmpty) {
+        val m = bytes(i + 1) & 0xff
+        val len = ((bytes(i + 2) & 0xff) << 8) | (bytes(i + 3) & 0xff)
+        if (m == 0xc0 || m == 0xc1) {
+          val nc = bytes(i + 9) & 0xff
+          res = (0 until nc).map { ci =>
+            val s = bytes(i + 11 + 3 * ci) & 0xff
+            s"${(s >> 4) & 0xf}x${s & 0xf}"
+          }.mkString(",")
+        } else i += 2 + len - 2 + 2
+      }
+      res
+    }
+    info(s"ImageIO writer sampling factors: $sof")
+    assert(sof != "1x1,1x1,1x1", "writer unexpectedly emitted 4:4:4 — test would not exercise upsampling")
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    def ourRgb(r: Int, c: Int): (Int, Int, Int) = {
+      val y = planes(0)(r * w + c)
+      val cb = planes(1)(r * w + c) - 128
+      val cr = planes(2)(r * w + c) - 128
+      def clamp(d: Double): Int = {
+        val v = math.round(d).toInt
+        if (v < 0) 0 else if (v > 255) 255 else v
+      }
+      (clamp(y + 1.402 * cr), clamp(y - 0.344136 * cb - 0.714136 * cr),
+        clamp(y + 1.772 * cb))
+    }
+    var within1 = 0
+    for (r <- 0 until h; c <- 0 until w) {
+      val theirs = ref.getRGB(c, r)
+      val (tr, tg, tb) = ((theirs >> 16) & 0xff, (theirs >> 8) & 0xff, theirs & 0xff)
+      val (mr, mg, mb) = ourRgb(r, c)
+      val d = math.max(math.abs(mr - tr), math.max(math.abs(mg - tg), math.abs(mb - tb)))
+      assert(d <= 3, s"pixel ($r,$c): ours ($mr,$mg,$mb) imageio ($tr,$tg,$tb)")
+      if (d <= 1) within1 += 1
+    }
+    info(s"pixels within +-1 on all channels: $within1/${w * h} (rest within +-3)")
+    assert(within1 > (w * h) * 8 / 10)
   }
 
   // ---- deep PDF text extraction (content-stream tokenize + Flate) ----
