@@ -873,6 +873,28 @@ object SparkEntry {
       Multimodal.pixelStats(media).orderBy("doc_id", "channel")
     }),
 
+    // mm10: PROGRESSIVE JPEG decode — the SOF2 multi-scan layout real
+    // crawl JPEGs increasingly use: an interleaved DC first scan at
+    // Al=1, a DC refinement scan supplying bit 0 (successive
+    // approximation — (v>>1<<1)|(v&1) == v in two's complement), then
+    // one AC EOB-run scan per component over its non-interleaved block
+    // grid. Same flat-chroma trick as mm9 keeps every stage
+    // SQL-replayable: pixel = dcY + 128 on all three channels — but the
+    // Spark side must accumulate coefficients across all five scans to
+    // produce it. Real progressive content (spectral bands + AC
+    // refinement) is conformance-tested against javax.imageio in
+    // MediaSpec.
+    "mm10_jpeg_progressive_stats" -> ((s, dir) => {
+      val media = Multimodal.synthTable(documents(s, dir)) { (id, payload) =>
+        val n = payload.length
+        val w = 8 + n % 24; val h = 8 + n % 16
+        (s"media://$id.p.jpg",
+          graft.pipeline.JpegCodec.buildJpegDcOnly420Progressive(w, h,
+            (br, bc) => ((id + br * 5L + bc * 11L) % 256).toInt - 128))
+      }
+      Multimodal.pixelStats(media).orderBy("doc_id", "channel")
+    }),
+
     // mm8: PDF text-derived FEATURE branch — the pdf_layout branch's
     // real feature path: extract the content-stream text (mm5's decode:
     // /Length-bounded walk, FlateDecode for odd ids) and reduce it to
@@ -890,6 +912,32 @@ object SparkEntry {
             s"DOC$id:".getBytes(UTF_8), payload, flate = id % 2 == 1))
       }
       Multimodal.pdfFeaturePrimitives(media).orderBy("doc_id")
+    }),
+
+    // mm11: PDF stream-filter CASCADE — the filter family real PDFs use
+    // (ISO 32000-1 §7.4): FlateDecode, LZWDecode (TIFF-style MSB-first
+    // variable-width codes with the EarlyChange quirk), RunLengthDecode,
+    // ASCIIHexDecode and an [ASCII85Decode, FlateDecode] two-step
+    // cascade, rotated per doc id so every decoder branch must run; the
+    // oracle replays the expected text from the documents table without
+    // touching PDF bytes or any codec.
+    "mm11_pdf_filter_cascade" -> ((s, dir) => {
+      import java.nio.charset.StandardCharsets.UTF_8
+      val media = Multimodal.synthTable(documents(s, dir)) { (id, payload) =>
+        val filters = (id % 6).toInt match {
+          case 0 => Nil
+          case 1 => Seq("FlateDecode")
+          case 2 => Seq("LZWDecode")
+          case 3 => Seq("RunLengthDecode")
+          case 4 => Seq("ASCIIHexDecode")
+          case _ => Seq("ASCII85Decode", "FlateDecode")
+        }
+        val n = payload.length
+        (s"media://$id.f.pdf",
+          graft.pipeline.MediaCodec.buildPdfWithTextFiltered(1 + n % 5,
+            s"DOC$id:".getBytes(UTF_8), payload, filters))
+      }
+      Multimodal.pdfText(media).orderBy("doc_id")
     }),
 
     // ---- boilerplate main-content extraction (north-star branch) ----
@@ -1490,6 +1538,22 @@ object SparkEntry {
         "CAST(sum(v) AS BIGINT) AS px_sum, CAST(min(v) AS INT) AS px_min, " +
         "CAST(max(v) AS INT) AS px_max " +
         "FROM px GROUP BY doc_id, w, h, ch ORDER BY doc_id, ch"),
+    // progressive replay: identical pixel formula to mm9 — the Spark
+    // side reaches it only through SOF2 multi-scan coefficient
+    // accumulation (DC successive approximation + per-component AC EOB
+    // runs), none of which the oracle touches
+    "mm10_jpeg_progressive_stats" ->
+      ("WITH m AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents), " +
+        "d AS (SELECT doc_id, 8 + n % 24 AS w, 8 + n % 16 AS h FROM m), " +
+        "px AS (SELECT d.doc_id, d.w, d.h, ch.ch, " +
+        "(d.doc_id + (r.r // 8) * 5 + (c.c // 8) * 11) % 256 AS v " +
+        "FROM d, generate_series(0, 22) AS r(r), generate_series(0, 30) AS c(c), " +
+        "(VALUES (0),(1),(2)) AS ch(ch) WHERE r.r < d.h AND c.c < d.w) " +
+        "SELECT doc_id, 'media://' || CAST(doc_id AS VARCHAR) || '.p.jpg' AS media_ref, " +
+        "CAST(w AS INT) AS width, CAST(h AS INT) AS height, CAST(ch AS INT) AS channel, " +
+        "CAST(sum(v) AS BIGINT) AS px_sum, CAST(min(v) AS INT) AS px_min, " +
+        "CAST(max(v) AS INT) AS px_max " +
+        "FROM px GROUP BY doc_id, w, h, ch ORDER BY doc_id, ch"),
     // PDF-text replay: expected extraction = header + doc text + the
     // builder's TJ end marker; n_pages from the same formula mm2 uses.
     // The oracle never parses PDF bytes — the Spark side must unescape
@@ -1516,6 +1580,14 @@ object SparkEntry {
         "CAST(length(full_text) - length(replace(full_text, ' ', '')) + 1 AS BIGINT) AS n_tokens, " +
         "CAST(length(regexp_replace(full_text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digits " +
         "FROM f ORDER BY doc_id"),
+    // filter-cascade replay: the same expected-text formula as mm5 —
+    // whichever of the six filter chains the id selects, the decode must
+    // invert it exactly; the oracle never runs LZW/zlib/base85
+    "mm11_pdf_filter_cascade" ->
+      ("SELECT doc_id, 'media://' || CAST(doc_id AS VARCHAR) || '.f.pdf' AS media_ref, " +
+        "CAST(1 + octet_length(encode(text)) % 5 AS INT) AS n_pages, " +
+        "'DOC' || CAST(doc_id AS VARCHAR) || ':' || text || '#END' AS text " +
+        "FROM documents ORDER BY doc_id"),
     // real-container replay: format/dims from the synthesis formulas, and
     // n_bytes = payload + the EXACT container overhead (PNG sig+IHDR+IDAT+
     // IEND framing; GIF header/LSD + comment sub-block length bytes; JPEG

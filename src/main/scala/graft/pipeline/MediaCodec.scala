@@ -632,6 +632,10 @@ object MediaCodec {
         i += 1
       }
       emit(w)
+      // End-of-stream width mirror (same boundary as lzwEncodePdf): the
+      // decoder registers an entry for this final code, which can bump its
+      // width before it reads the EOI — write the EOI at that width.
+      if (i > 1 && next + 1 == (1 << width) && width < 12) width += 1
     }
     emit(eoi)
     if (bitCnt > 0) out.write((bitBuf & 0xff).toInt)
@@ -665,6 +669,7 @@ object MediaCodec {
     val suffix = new Array[Byte](4096)
     var next = eoi + 1
     var prev = -1
+    var justBumped = false // width grew on the immediately preceding code
     def expand(code: Int): Array[Byte] = {
       var c = code
       var n = 1
@@ -681,7 +686,7 @@ object MediaCodec {
       val code = read()
       if (code < 0) return None
       if (code == clear) {
-        next = eoi + 1; width = minCodeSize + 1; prev = -1
+        next = eoi + 1; width = minCodeSize + 1; prev = -1; justBumped = false
       } else if (code == eoi) {
         done = true
       } else if (prev < 0) {
@@ -696,13 +701,25 @@ object MediaCodec {
             val e = java.util.Arrays.copyOf(p, p.length + 1)
             e(p.length) = p(0)
             e
-          } else return None
+          } else {
+            // Invalid code in the stream's FINAL slot right after a width
+            // bump: a real encoder can write the EOI at the pre-bump width
+            // when the decoder-side registration of the last data code
+            // bumps the width (see the end-of-stream mirror in
+            // lzwCompress). Output is already complete at that point; the
+            // caller's expected-length check arbitrates. Mid-stream
+            // invalid codes stay hard errors.
+            if (justBumped && bitPos + width > z.length * 8)
+              return Some(out.toByteArray)
+            return None
+          }
         out.write(entry, 0, entry.length)
+        justBumped = false
         if (next < 4096) {
           prefix(next) = prev
           suffix(next) = entry(0)
           next += 1
-          if (next == (1 << width) && width < 12) width += 1
+          if (next == (1 << width) && width < 12) { width += 1; justBumped = true }
         }
         prev = code
       }
@@ -890,11 +907,16 @@ object MediaCodec {
   //
   // A PDF page's text lives in its content stream as show-text operators
   // (ISO 32000-1 §9.4.3): `(string) Tj`, `(s) '`, `(s) "` and the array
-  // form `[(a) -250 (b)] TJ`. Streams are optionally FlateDecode (zlib,
-  // §7.4.4) — which the JVM inflater handles — so REAL text extraction
-  // for uncompressed and Flate PDFs needs no external library. This is
-  // the north rule's "PDF/layout parse" branch on real bytes; formats
-  // needing more (LZW, DCT-in-PDF, CID fonts) remain out of scope.
+  // form `[(a) -250 (b)] TJ`. Stream data may pass through a FILTER
+  // CHAIN (§7.4): FlateDecode (zlib — the JVM inflater), LZWDecode
+  // (TIFF-style MSB-first variable-width codes with EarlyChange, §7.4.4
+  // — hand-rolled below), ASCIIHexDecode, ASCII85Decode and
+  // RunLengthDecode — all implemented, singly or as a `/Filter [...]`
+  // cascade, so REAL text extraction needs no external library. Image
+  // codecs inside PDFs (DCTDecode/JPXDecode/CCITT/JBIG2) carry no text
+  // and skip the stream; /Predictor DecodeParms (used by xref streams,
+  // not content streams) skip too. CID/Type0 composite fonts remain out
+  // of scope.
 
   /** Escape a byte string into PDF literal-string form: backslash, parens
     * (§7.3.4.2). */
@@ -915,7 +937,17 @@ object MediaCodec {
     * pages reference the one content stream. Extracted text is exactly
     * header + body + "#END". */
   def buildPdfWithText(nPages: Int, header: Array[Byte], body: Array[Byte],
-                       flate: Boolean): Array[Byte] = {
+                       flate: Boolean): Array[Byte] =
+    buildPdfWithTextFiltered(nPages, header, body,
+      if (flate) Seq("FlateDecode") else Nil)
+
+  /** Like [[buildPdfWithText]] but encoding the content stream through an
+    * arbitrary filter CASCADE (applied left to right at write time, so
+    * the reader must decode right-to-left order of /Filter [...] — i.e.
+    * the /Filter array lists decode order, §7.4.1: first array entry is
+    * the first DECODE step, so we ENCODE through the list reversed). */
+  def buildPdfWithTextFiltered(nPages: Int, header: Array[Byte], body: Array[Byte],
+                               filters: Seq[String]): Array[Byte] = {
     val content = new ByteArrayOutputStream(header.length + body.length + 64)
     def cs(x: String): Unit = { val b = x.getBytes(US_ASCII); content.write(b, 0, b.length) }
     cs("BT /F1 12 Tf 72 720 Td (")
@@ -923,18 +955,10 @@ object MediaCodec {
     cs(") Tj [(")
     pdfEscape(body, content)
     cs(") -250 (#END)] TJ ET")
-    val raw = content.toByteArray
-    val streamBytes =
-      if (!flate) raw
-      else {
-        val deflater = new java.util.zip.Deflater(6)
-        deflater.setInput(raw); deflater.finish()
-        val zout = new ByteArrayOutputStream(raw.length / 2 + 64)
-        val buf = new Array[Byte](8192)
-        while (!deflater.finished()) zout.write(buf, 0, deflater.deflate(buf))
-        deflater.end()
-        zout.toByteArray
-      }
+    // /Filter lists DECODE order; encoding applies the reverse
+    val streamBytes = filters.reverse.foldLeft(content.toByteArray) { (d, f) =>
+      pdfFilterEncode(d, f)
+    }
     val out = new ByteArrayOutputStream(streamBytes.length + 256)
     def s(x: String): Unit = { val b = x.getBytes(US_ASCII); out.write(b, 0, b.length) }
     s("%PDF-1.4\n")
@@ -944,11 +968,72 @@ object MediaCodec {
     s(s"2 0 obj << /Type /Pages /Count $nPages /Kids [$kids] >> endobj\n")
     for (p <- 0 until nPages)
       s(s"${3 + p} 0 obj << /Type /Page /Parent 2 0 R /Contents $contentsObj 0 R >> endobj\n")
-    val filter = if (flate) " /Filter /FlateDecode" else ""
+    val filter = filters match {
+      case Nil => ""
+      case Seq(one) => s" /Filter /$one"
+      case many => many.map("/" + _).mkString(" /Filter [", " ", "]")
+    }
     s(s"$contentsObj 0 obj << /Length ${streamBytes.length}$filter >> stream\n")
     out.write(streamBytes, 0, streamBytes.length)
     s("\nendstream endobj\n%%EOF\n")
     out.toByteArray
+  }
+
+  /** Encode one PDF stream filter step (the synthesis twin of the
+    * decoders in [[applyPdfFilters]]). */
+  private[graft] def pdfFilterEncode(d: Array[Byte], f: String): Array[Byte] = f match {
+    case "FlateDecode" =>
+      val deflater = new java.util.zip.Deflater(6)
+      deflater.setInput(d); deflater.finish()
+      val zout = new ByteArrayOutputStream(d.length / 2 + 64)
+      val buf = new Array[Byte](8192)
+      while (!deflater.finished()) zout.write(buf, 0, deflater.deflate(buf))
+      deflater.end()
+      zout.toByteArray
+    case "ASCIIHexDecode" =>
+      val hex = "0123456789abcdef"
+      val o = new ByteArrayOutputStream(d.length * 2 + 1)
+      d.foreach { b => o.write(hex((b & 0xff) >> 4)); o.write(hex(b & 0x0f)) }
+      o.write('>')
+      o.toByteArray
+    case "ASCII85Decode" =>
+      val o = new ByteArrayOutputStream(d.length * 5 / 4 + 8)
+      var i = 0
+      while (i < d.length) {
+        val n = math.min(4, d.length - i)
+        var group = 0L
+        var j = 0
+        while (j < 4) { // zero-pad the final partial group
+          group = (group << 8) | (if (i + j < d.length) d(i + j) & 0xff else 0)
+          j += 1
+        }
+        if (n == 4 && group == 0L) o.write('z') // the all-zero shortcut
+        else {
+          val c = new Array[Int](5)
+          var g = group
+          var k = 4
+          while (k >= 0) { c(k) = (g % 85).toInt; g /= 85; k -= 1 }
+          var m = 0
+          while (m <= n) { o.write('!' + c(m)); m += 1 } // n+1 chars for n bytes
+        }
+        i += n
+      }
+      o.write('~'); o.write('>')
+      o.toByteArray
+    case "RunLengthDecode" =>
+      val o = new ByteArrayOutputStream(d.length + d.length / 128 + 2)
+      var i = 0
+      while (i < d.length) { // literal runs only — valid RLE, no compression
+        val n = math.min(128, d.length - i)
+        o.write(n - 1)
+        o.write(d, i, n)
+        i += n
+      }
+      o.write(128) // EOD
+      o.toByteArray
+    case "LZWDecode" =>
+      lzwEncodePdf(d)
+    case other => sys.error(s"pdfFilterEncode: unsupported filter $other")
   }
 
   /** Extract the shown text from every content stream, in stream order:
@@ -981,11 +1066,29 @@ object MediaCodec {
       if (validKeyword && dictStart >= 0 && dictEnd > dictStart) {
         val len = readDictLength(b, dictStart, dictEnd)
         if (len >= 0 && bodyAt + len <= b.length && len <= (64 << 20)) {
-          val flate = indexOfAsciiIn(b, "/FlateDecode", dictStart, dictEnd) >= 0
           val streamBytes = java.util.Arrays.copyOfRange(b, bodyAt, bodyAt + len)
-          val content =
-            if (!flate) Some(streamBytes)
-            else inflateAll(streamBytes, 64 << 20)
+          val content = readDictFilters(b, dictStart, dictEnd).flatMap { filters =>
+            // PNG/TIFF predictors (/Predictor >= 2) belong to xref/image
+            // streams; a content stream declaring one is out of scope —
+            // skip it (/Predictor 1 means "none" and decodes normally)
+            val predAt = indexOfAsciiIn(b, "/Predictor ", dictStart, dictEnd)
+            val predictor =
+              if (predAt < 0) 1
+              else {
+                var j = predAt + 11
+                var v = 0
+                while (j < dictEnd && b(j) >= '0' && b(j) <= '9' && v < 1000) {
+                  v = v * 10 + (b(j) - '0'); j += 1
+                }
+                if (v == 0) 1 else v
+              }
+            if (predictor > 1) None
+            else {
+              val earlyChange =
+                indexOfAsciiIn(b, "/EarlyChange 0", dictStart, dictEnd) < 0
+              applyPdfFilters(streamBytes, filters, 64 << 20, earlyChange)
+            }
+          }
           content.foreach { c => sawStream = true; tokenizeContent(c, out) }
           searchFrom = bodyAt + len
         } else searchFrom = cursor + 6
@@ -1005,6 +1108,312 @@ object MediaCodec {
       if (v > Int.MaxValue) return -1
     }
     if (!any) -1 else v.toInt
+  }
+
+  /** Parse the dict's /Filter entry: a single name, an array of names
+    * (decode order, §7.4.1), or absent (no filtering). None = the value
+    * is something we can't statically read (an indirect reference). */
+  private def readDictFilters(b: Array[Byte], dictStart: Int,
+                              dictEnd: Int): Option[Seq[String]] = {
+    val at = indexOfAsciiIn(b, "/Filter", dictStart, dictEnd)
+    if (at < 0) return Some(Nil)
+    var i = at + 7
+    while (i < dictEnd && (b(i) == ' ' || b(i) == '\n' || b(i) == '\r' ||
+      b(i) == '\t')) i += 1
+    def readName(j0: Int): (String, Int) = {
+      var j = j0 + 1 // past '/'
+      val sb = new StringBuilder
+      while (j < dictEnd && ((b(j) >= 'A' && b(j) <= 'Z') ||
+        (b(j) >= 'a' && b(j) <= 'z') || (b(j) >= '0' && b(j) <= '9'))) {
+        sb.append(b(j).toChar); j += 1
+      }
+      (sb.toString, j)
+    }
+    if (i < dictEnd && b(i) == '[') {
+      val names = scala.collection.mutable.ArrayBuffer[String]()
+      i += 1
+      while (i < dictEnd && b(i) != ']') {
+        if (b(i) == '/') { val (n, j) = readName(i); names += n; i = j }
+        else i += 1
+      }
+      Some(names.toSeq)
+    } else if (i < dictEnd && b(i) == '/') Some(Seq(readName(i)._1))
+    else None // `/Filter 5 0 R` etc: unresolvable here
+  }
+
+  /** Apply a /Filter decode cascade in array order (§7.4.1). Filters that
+    * carry no text (DCT/JPX/CCITT/JBIG2 image codecs) or that we do not
+    * implement skip the stream by returning None. */
+  private def applyPdfFilters(data: Array[Byte], filters: Seq[String], cap: Int,
+                              earlyChange: Boolean): Option[Array[Byte]] =
+    filters.foldLeft(Option(data)) { (acc, f) =>
+      acc.flatMap { d =>
+        f match {
+          case "FlateDecode" => inflateAll(d, cap)
+          case "LZWDecode" => lzwDecodePdf(d, cap, earlyChange)
+          case "ASCIIHexDecode" => asciiHexDecode(d)
+          case "ASCII85Decode" => ascii85Decode(d, cap)
+          case "RunLengthDecode" => runLengthDecode(d, cap)
+          case _ => None // image codecs / crypt / unknown: no text here
+        }
+      }
+    }
+
+  /** ASCIIHexDecode (§7.4.2): hex pairs, whitespace ignored, `>` ends the
+    * data, an odd trailing digit is padded with 0. */
+  private def asciiHexDecode(z: Array[Byte]): Option[Array[Byte]] = {
+    val out = new ByteArrayOutputStream(z.length / 2 + 1)
+    var hi = -1
+    var i = 0
+    while (i < z.length) {
+      val c = z(i) & 0xff
+      val d =
+        if (c >= '0' && c <= '9') c - '0'
+        else if (c >= 'a' && c <= 'f') c - 'a' + 10
+        else if (c >= 'A' && c <= 'F') c - 'A' + 10
+        else if (c == '>') { // EOD: flush the odd digit as high nibble
+          if (hi >= 0) out.write(hi << 4)
+          return Some(out.toByteArray)
+        }
+        else if (c == ' ' || c == '\n' || c == '\r' || c == '\t' || c == '\f' ||
+          c == 0) -2
+        else return None // junk byte: corrupt
+      if (d >= 0) {
+        if (hi < 0) hi = d
+        else { out.write((hi << 4) | d); hi = -1 }
+      }
+      i += 1
+    }
+    if (hi >= 0) out.write(hi << 4)
+    Some(out.toByteArray) // missing '>' tolerated at end-of-data
+  }
+
+  /** ASCII85Decode (§7.4.3): 5 chars -> 4 bytes base 85, `z` = four zero
+    * bytes, `~>` is EOD, a final partial group of n+1 chars yields n
+    * bytes. */
+  private def ascii85Decode(z: Array[Byte], cap: Int): Option[Array[Byte]] = {
+    val out = new ByteArrayOutputStream(z.length * 4 / 5 + 4)
+    val grp = new Array[Int](5)
+    var n = 0
+    var i = 0
+    while (i < z.length) {
+      val c = z(i) & 0xff
+      if (c == '~') { // EOD
+        if (n == 1) return None // a lone leftover char is malformed
+        if (n > 1) {
+          var j = n
+          while (j < 5) { grp(j) = 84; j += 1 } // pad with 'u'
+          var v = 0L
+          var k = 0
+          while (k < 5) { v = v * 85 + grp(k); k += 1 }
+          var sh = 24
+          var m = 0
+          while (m < n - 1) { out.write(((v >> sh) & 0xff).toInt); sh -= 8; m += 1 }
+        }
+        return Some(out.toByteArray)
+      } else if (c == 'z' && n == 0) {
+        out.write(0); out.write(0); out.write(0); out.write(0)
+        if (out.size() > cap) return None
+      } else if (c >= '!' && c <= 'u') {
+        grp(n) = c - '!'
+        n += 1
+        if (n == 5) {
+          var v = 0L
+          var k = 0
+          while (k < 5) { v = v * 85 + grp(k); k += 1 }
+          if (v > 0xffffffffL) return None // overflow: corrupt group
+          out.write(((v >> 24) & 0xff).toInt); out.write(((v >> 16) & 0xff).toInt)
+          out.write(((v >> 8) & 0xff).toInt); out.write((v & 0xff).toInt)
+          if (out.size() > cap) return None
+          n = 0
+        }
+      } else if (c == ' ' || c == '\n' || c == '\r' || c == '\t' || c == '\f' ||
+        c == 0) { // whitespace: skip
+      } else return None
+      i += 1
+    }
+    Some(out.toByteArray) // missing ~> tolerated at end-of-data (n<=1 dropped)
+  }
+
+  /** RunLengthDecode (§7.4.5): length byte 0-127 = copy next length+1
+    * literal bytes; 129-255 = repeat next byte 257-length times; 128 =
+    * EOD. */
+  private def runLengthDecode(z: Array[Byte], cap: Int): Option[Array[Byte]] = {
+    val out = new ByteArrayOutputStream(z.length * 2 + 16)
+    var i = 0
+    while (i < z.length) {
+      val l = z(i) & 0xff
+      if (l == 128) return Some(out.toByteArray) // EOD
+      if (l < 128) {
+        if (i + 1 + l + 1 > z.length) return None
+        out.write(z, i + 1, l + 1)
+        i += 1 + l + 1
+      } else {
+        if (i + 1 >= z.length) return None
+        var k = 257 - l
+        while (k > 0) { out.write(z(i + 1)); k -= 1 }
+        i += 2
+      }
+      if (out.size() > cap) return None
+    }
+    None // ran out without EOD: corrupt per §7.4.5
+  }
+
+  /** LZWDecode (§7.4.4 — TIFF-style LZW): MSB-first packed variable-width
+    * codes starting at 9 bits, Clear=256, EOD=257, table grows to 4096,
+    * code width bumps one code EARLY when EarlyChange=1 (the default).
+    * Distinct from the GIF LZW above: opposite bit packing order, fixed
+    * 8-bit roots, and the early-change quirk. */
+  private[graft] def lzwDecodePdf(z: Array[Byte], cap: Int,
+                                  earlyChange: Boolean): Option[Array[Byte]] = {
+    val Clear = 256
+    val Eod = 257
+    val out = new ByteArrayOutputStream(z.length * 3 + 64)
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    val scratch = new Array[Byte](4096)
+    var tableSize = 258
+    var width = 9
+    var prev = -1
+    var justBumped = false // width grew on the immediately preceding code
+    var bitBuf = 0
+    var bitCnt = 0
+    var pos = 0
+    def nextCode(): Int = {
+      while (bitCnt < width) {
+        if (pos >= z.length) return -1
+        bitBuf = (bitBuf << 8) | (z(pos) & 0xff)
+        bitCnt += 8
+        pos += 1
+      }
+      bitCnt -= width
+      (bitBuf >> bitCnt) & ((1 << width) - 1)
+    }
+    /** Expand `code` into scratch (reversed walk), return (start, first byte). */
+    def expand(code: Int): Int = {
+      var c = code
+      var top = scratch.length
+      while (c >= 258) { top -= 1; scratch(top) = suffix(c); c = prefix(c) }
+      top -= 1
+      scratch(top) = c.toByte
+      top
+    }
+    while (true) {
+      val code = nextCode()
+      if (code < 0) return Some(out.toByteArray) // EOF without EOD: tolerate
+      if (code == Eod) return Some(out.toByteArray)
+      if (code == Clear) { tableSize = 258; width = 9; prev = -1; justBumped = false }
+      else {
+        if (code > tableSize || code == Eod || (prev < 0 && code >= 256)) {
+          // Real-world encoders write the trailing EOD at the PRE-bump
+          // width when the final data code's table registration crossed
+          // the width threshold (the encoder never registers that entry,
+          // so it doesn't see the bump) — the misread then lands in the
+          // stream's final code slot, right after a width bump. Tolerate
+          // exactly that; anywhere else an invalid code means corruption.
+          if (justBumped && pos >= z.length && bitCnt < width)
+            return Some(out.toByteArray)
+          return None // forward reference / root expected after clear
+        }
+        var start = 0
+        if (code == tableSize) { // the K[w]K case: prev's string + its first byte
+          if (prev < 0) return None
+          start = expand(prev)
+          out.write(scratch, start, scratch.length - start)
+          out.write(scratch(start) & 0xff)
+        } else {
+          start = expand(code)
+          out.write(scratch, start, scratch.length - start)
+        }
+        if (out.size() > cap) return None
+        if (prev >= 0 && tableSize < 4096) {
+          prefix(tableSize) = prev
+          suffix(tableSize) = scratch(start) // first byte of this emission
+          tableSize += 1
+        }
+        prev = code
+        // EarlyChange=1 (default): the width bumps one code early — when
+        // the next free slot is 2^w - 1, not 2^w (§7.4.4.2 note). The
+        // decoder's table lags the encoder's by exactly one entry (the
+        // encoder has already registered the string this code begins),
+        // so the decoder bumps at tableSize 2^w - 2 (510/1022/2046),
+        // one before the encoder's own 2^w - 1 — the classic TIFF-LZW
+        // decoder schedule.
+        val effective = tableSize + (if (earlyChange) 2 else 1)
+        justBumped = effective >= (1 << width) && width < 12
+        if (justBumped) width += 1
+      }
+    }
+    None // unreachable
+  }
+
+  /** The matching LZW encoder, used by the PDF builders so the decode
+    * path can be oracled on real compressed bytes. Simple hash-map
+    * string table, emits Clear once up front and EOD at the end, resets
+    * at table fill like real encoders. `earlyChange` must match what the
+    * stream dict will declare (the builder default is the spec default,
+    * 1). */
+  private[graft] def lzwEncodePdf(d: Array[Byte],
+                                  earlyChange: Boolean = true): Array[Byte] = {
+    val out = new ByteArrayOutputStream(d.length + 64)
+    var bitBuf = 0L
+    var bitCnt = 0
+    var width = 9
+    def put(code: Int): Unit = {
+      bitBuf = (bitBuf << width) | code
+      bitCnt += width
+      while (bitCnt >= 8) {
+        bitCnt -= 8
+        out.write(((bitBuf >> bitCnt) & 0xff).toInt)
+      }
+    }
+    // string table: map (prefixCode << 8 | byte) -> code
+    var table = new java.util.HashMap[Integer, Integer]()
+    var nextCode = 258
+    put(256) // Clear up front (recommended by §7.4.4.2)
+    var cur = -1
+    var i = 0
+    while (i < d.length) {
+      val b = d(i) & 0xff
+      if (cur < 0) cur = b
+      else {
+        val key = (cur << 8) | b
+        val hit = table.get(key)
+        if (hit != null) cur = hit.intValue()
+        else {
+          put(cur)
+          if (nextCode < 4096) {
+            table.put(key, nextCode)
+            nextCode += 1
+          }
+          // EarlyChange: width bumps when the next free slot is 2^w - 1,
+          // mirroring the decoder exactly
+          val eff = nextCode + (if (earlyChange) 1 else 0)
+          if (eff >= (1 << width) && width < 12) width += 1
+          if (nextCode == 4096) { // table full: emit Clear, start over
+            put(256)
+            table = new java.util.HashMap[Integer, Integer]()
+            nextCode = 258
+            width = 9
+          }
+          cur = b
+        }
+      }
+      i += 1
+    }
+    if (cur >= 0) put(cur)
+    // End-of-stream width mirror: the decoder registers a table entry for
+    // the final data code above (the encoder never does — there is no
+    // following byte), so when that registration crosses the width
+    // threshold the decoder reads the NEXT code one bit wider. Bump here
+    // so the EOD below is written at the width the decoder will read it.
+    // (Decoder's end-of-stream tableSize equals nextCode: its mid-stream
+    // one-entry lag is cancelled by this extra final registration.)
+    if (cur >= 0 && nextCode + (if (earlyChange) 2 else 1) >= (1 << width) && width < 12)
+      width += 1
+    put(257) // EOD
+    if (bitCnt > 0) out.write(((bitBuf << (8 - bitCnt)) & 0xff).toInt)
+    out.toByteArray
   }
 
   private def inflateAll(z: Array[Byte], cap: Int): Option[Array[Byte]] = {

@@ -13,13 +13,16 @@ import java.nio.charset.StandardCharsets.UTF_8
   * inflate + five-filter scanline reversal), GIF (from-scratch LZW +
   * palette mapping, incl. interlace and local color tables), baseline
   * JPEG (canonical Huffman entropy decode + dequant + IDCT, 4:4:4 and
-  * 2x-subsampled chroma), and PDF text (/Length-bounded stream walk +
-  * FlateDecode + show-op tokenizer) — all pure JVM, cross-validated
-  * against the JDK's independent javax.imageio codecs in MediaSpec.
-  * What remains a labeled STUB: progressive / arithmetic-coded / 12-bit
-  * JPEG, PDF raster layout, and non-Flate PDF stream filters (LZW, DCT)
-  * — those drop in at `decodeAll` / `routeAndParse` with the same
-  * schema and batching.
+  * 2x-subsampled chroma, baseline SOF0 AND progressive SOF2 with
+  * spectral selection + successive approximation), and PDF text
+  * (/Length-bounded stream walk + the full ISO 32000-1 §7.4 filter
+  * cascade — Flate, LZW, RunLength, ASCIIHex, ASCII85, chained — +
+  * show-op tokenizer) — all pure JVM, cross-validated against the
+  * JDK's independent javax.imageio codecs in MediaSpec.
+  * What remains a labeled STUB: arithmetic-coded / 12-bit / lossless
+  * JPEG, PDF raster layout, predictor DecodeParms, and image codecs
+  * inside PDF streams (DCTDecode, JPXDecode) — those drop in at
+  * `decodeAll` / `routeAndParse` with the same schema and batching.
   */
 object Multimodal {
 
@@ -39,10 +42,12 @@ object Multimodal {
     * entropy decode + dequant + IDCT (MediaCodec.decodeImagePixels), no
     * stub: dims 0-2 per-channel mean, 3-5 per-channel (max-min) spread,
     * both /255, dim 6 log2(pixel count)/32, dim 7 aspect ratio w/(w+h).
-    * PDFs get a REAL text-derived feature (pdfFeature over the
-    * extracted content-stream text). Only genuinely undecodable content
-    * (unknown formats, progressive/arithmetic JPEG, non-Flate PDF
-    * streams) falls back to the labeled hash stub below. */
+    * Progressive (SOF2) JPEGs decode through the same path. PDFs get a
+    * REAL text-derived feature (pdfFeature over the extracted
+    * content-stream text, any §7.4 filter cascade). Only genuinely
+    * undecodable content (unknown formats, arithmetic/12-bit/lossless
+    * JPEG, PDF streams using predictor DecodeParms or embedded image
+    * codecs) falls back to the labeled hash stub below. */
   private[graft] def feature(content: Array[Byte]): Array[Float] =
     MediaCodec.decodeImagePixels(content) match {
       case Some(px) =>
@@ -204,12 +209,15 @@ object Multimodal {
       doc_id: Long, media_ref: String, n_pages: Int, text: String)
 
   /** DEEP PDF text extraction — the real layout-branch decode, not a
-    * stub: walks every content stream by its /Length, inflates
-    * FlateDecode streams with the JVM's zlib, and tokenizes the show-text
-    * operators (Tj / ' / " / TJ with escape and nested-paren handling) in
-    * stream order (MediaCodec.extractPdfText). Scan-local like
-    * pixelStats; PDFs whose streams use codecs beyond Flate (LZW, DCT)
-    * or that carry no text yield no row. */
+    * stub: walks every content stream by its /Length, reverses the full
+    * ISO 32000-1 §7.4 filter cascade (FlateDecode via the JVM's zlib,
+    * plus from-scratch LZWDecode / RunLengthDecode / ASCIIHexDecode /
+    * ASCII85Decode, applied in /Filter array order), and tokenizes the
+    * show-text operators (Tj / ' / " / TJ with escape and nested-paren
+    * handling) in stream order (MediaCodec.extractPdfText). Scan-local
+    * like pixelStats; streams using image codecs (DCTDecode, JPXDecode)
+    * or predictor DecodeParms skip the stream, and PDFs that carry no
+    * text yield no row. */
   def pdfText(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._

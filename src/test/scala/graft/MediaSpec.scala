@@ -324,6 +324,33 @@ class MediaSpec extends AnyFunSuite {
     }) % 256).toByte
   }
 
+  test("LZW end-of-stream width boundary: every alignment of the final code") {
+    // The decoder registers a table entry for the encoder's FINAL data
+    // code (the encoder doesn't — no following byte), so when the width
+    // threshold lands exactly on that registration the decoder reads the
+    // trailing EOD/EOI one bit wider. A dense length sweep walks the
+    // boundary through every alignment for both codec pairs; mm11's
+    // sf0.001 doc 200 (a 414-byte content stream) is the wild instance
+    // that caught it.
+    for (n <- 200 to 320) {
+      val d = Array.tabulate(n)(i => ((i * 131 + (i >> 3) * 17 + i * i % 251) & 0xff).toByte)
+      val dec = MediaCodec.lzwDecodePdf(MediaCodec.lzwEncodePdf(d), 1 << 20, earlyChange = true)
+      assert(dec.exists(java.util.Arrays.equals(_, d)), s"pdf lzw n=$n")
+      val back = MediaCodec.lzwDecompress(MediaCodec.lzwCompress(d, 8), 8, n)
+      assert(back.exists(java.util.Arrays.equals(_, d)), s"gif lzw n=$n")
+    }
+    // the wild instance, end-to-end through the PDF builder + extractor
+    val body = ("hash the join column the query column stream hash value merge spark a key " +
+      "part order window stream vector hash fast small customer order table fast customer " +
+      "window order scan stream batch vector column customer key part batch column stream " +
+      "customer customer hash column table filter part batch filter line filter scan filter " +
+      "spark fast the window row batch").getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val pdf = MediaCodec.buildPdfWithTextFiltered(2, "DOC200:".getBytes(US_ASCII), body,
+      Seq("LZWDecode"))
+    val txt = MediaCodec.extractPdfText(pdf)
+    assert(txt.exists(_.endsWith("#END")), s"doc-200 LZW PDF failed to extract: $txt")
+  }
+
   test("GIF LZW pair round-trips: repetitive, varied, table-reset inputs") {
     val fixtures = Seq(
       Array.emptyByteArray,
@@ -668,6 +695,126 @@ class MediaSpec extends AnyFunSuite {
     assert(within1 > (w * h) * 8 / 10)
   }
 
+  // ---- progressive JPEG (SOF2 multi-scan) ----
+
+  test("JPEG progressive DC-only 4:2:0 round-trips: multi-scan accumulation exact") {
+    import graft.pipeline.JpegCodec
+    def dcY(br: Int, bc: Int): Int = ((br * 5 + bc * 11 + 3) % 256) - 128
+    // non-multiple-of-16 dims: partial MCUs, chroma crop, AND an odd
+    // number of blocks so the AC EOB runs aren't powers of two
+    val w = 21; val h = 13
+    val jpg = JpegCodec.buildJpegDcOnly420Progressive(w, h, dcY)
+    // header walk sees the SOF2 frame like any other SOFn
+    assert(MediaCodec.parse(jpg).contains(MediaInfo("jpeg", w, h, 0)))
+    val st = JpegCodec.decodeJpegPixels(jpg)
+    assert(st.isDefined)
+    assert(st.get.width == w && st.get.height == h)
+    // DC first (Al=1) + DC refinement (Al=0) reassemble every DC exactly;
+    // AC scans are pure EOB runs; flat-128 chroma -> RGB = luma
+    val vs = for (r <- 0 until h; c <- 0 until w) yield dcY(r / 8, c / 8) + 128
+    for (ch <- 0 until 3)
+      assert(st.get.stats(ch) ==
+        MediaCodec.ChannelStats(vs.map(_.toLong).sum, vs.min, vs.max), s"ch $ch")
+    // negative DCs exercise the two's-complement (v>>1<<1)|(v&1) identity
+    assert(vs.exists(_ < 128))
+  }
+
+  test("JPEG progressive truncation: completed scans survive, half a scan doesn't") {
+    import graft.pipeline.JpegCodec
+    def dcY(br: Int, bc: Int): Int = ((br * 7 + bc * 13 + 50) % 256) - 128
+    val w = 24; val h = 16
+    val jpg = JpegCodec.buildJpegDcOnly420Progressive(w, h, dcY)
+    // crawl JPEGs are routinely cut short: drop the trailing AC scans +
+    // EOI. Both DC scans completed, all ACs are zero anyway -> the
+    // truncated decode must still produce the EXACT same pixels.
+    val sosPositions = (0 until jpg.length - 1).filter(i =>
+      (jpg(i) & 0xff) == 0xff && (jpg(i + 1) & 0xff) == 0xda)
+    assert(sosPositions.length == 5, "expected 5 scans")
+    val cutAtScan3 = jpg.take(sosPositions(2))
+    val st = JpegCodec.decodeJpegPixels(cutAtScan3)
+    assert(st.isDefined, "truncation after completed DC scans must still decode")
+    val vs = for (r <- 0 until h; c <- 0 until w) yield dcY(r / 8, c / 8) + 128
+    assert(st.get.stats(0) == MediaCodec.ChannelStats(vs.map(_.toLong).sum, vs.min, vs.max))
+    // cut INSIDE the first scan's entropy data: no completed scan -> None
+    assert(JpegCodec.decodeJpegPixels(jpg.take(sosPositions(0) + 20)).isEmpty)
+  }
+
+  test("JPEG progressive conformance: ImageIO decodes our progressive output exact") {
+    import graft.pipeline.JpegCodec
+    def dcY(br: Int, bc: Int): Int = ((br * 17 + bc * 29 + 60) % 250) - 125
+    val w = 40; val h = 24
+    val jpg = JpegCodec.buildJpegDcOnly420Progressive(w, h, dcY)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpg))
+    assert(img != null, "ImageIO could not read our progressive JPEG at all")
+    assert(img.getWidth == w && img.getHeight == h)
+    for (r <- 0 until h; c <- 0 until w) {
+      val v = dcY(r / 8, c / 8) + 128
+      val expected = 0xff000000 | (v << 16) | (v << 8) | v
+      assert(img.getRGB(c, r) == expected,
+        s"pixel ($r,$c): got ${Integer.toHexString(img.getRGB(c, r))} want gray $v")
+    }
+  }
+
+  test("JPEG progressive conformance: our decoder reads ImageIO-written progressive JPEGs") {
+    import graft.pipeline.JpegCodec
+    // the JDK writer's progressive mode emits the standard multi-scan
+    // script (spectral bands + successive approximation), so this drives
+    // the AC first AND AC refinement paths with real coefficient data
+    val w = 48; val h = 32
+    val bi = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (r <- 0 until h; c <- 0 until w) {
+      val red = (r * 7 + c * 3) % 256
+      val grn = (r * 2 + c * 11 + 40) % 256
+      val blu = (r * 13 + c + 90) % 256
+      bi.setRGB(c, r, 0xff000000 | (red << 16) | (grn << 8) | blu)
+    }
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val wp = writer.getDefaultWriteParam
+    wp.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    val baos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(bi, null, null), wp)
+    ios.close(); writer.dispose()
+    val bytes = baos.toByteArray
+    // the writer must actually have produced a progressive (SOF2) frame
+    assert((0 until bytes.length - 1).exists(i =>
+      (bytes(i) & 0xff) == 0xff && (bytes(i + 1) & 0xff) == 0xc2),
+      "JDK writer did not emit SOF2 — progressive path not exercised")
+    val nScans = (0 until bytes.length - 1).count(i =>
+      (bytes(i) & 0xff) == 0xff && (bytes(i + 1) & 0xff) == 0xda)
+    info(s"JDK progressive writer emitted $nScans scans")
+    assert(nScans > 3, "expected a multi-scan progressive script")
+    val ours = JpegCodec.decodePlanes(bytes)
+    assert(ours.isDefined, "our decoder rejected an ImageIO-written progressive JPEG")
+    val (dw, dh, planes) = ours.get
+    assert(dw == w && dh == h && planes.length == 3)
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    def ourRgb(r: Int, c: Int): (Int, Int, Int) = {
+      val y = planes(0)(r * w + c)
+      val cb = planes(1)(r * w + c) - 128
+      val cr = planes(2)(r * w + c) - 128
+      def clamp(d: Double): Int = {
+        val v = math.round(d).toInt
+        if (v < 0) 0 else if (v > 255) 255 else v
+      }
+      (clamp(y + 1.402 * cr), clamp(y - 0.344136 * cb - 0.714136 * cr),
+        clamp(y + 1.772 * cb))
+    }
+    var within1 = 0
+    for (r <- 0 until h; c <- 0 until w) {
+      val theirs = ref.getRGB(c, r)
+      val (tr, tg, tb) = ((theirs >> 16) & 0xff, (theirs >> 8) & 0xff, theirs & 0xff)
+      val (mr, mg, mb) = ourRgb(r, c)
+      val d = math.max(math.abs(mr - tr), math.max(math.abs(mg - tg), math.abs(mb - tb)))
+      assert(d <= 3, s"pixel ($r,$c): ours ($mr,$mg,$mb) imageio ($tr,$tg,$tb)")
+      if (d <= 1) within1 += 1
+    }
+    info(s"pixels within +-1 on all channels: $within1/${w * h} (rest within +-3)")
+    assert(within1 > (w * h) * 8 / 10)
+  }
+
   // ---- deep PDF text extraction (content-stream tokenize + Flate) ----
 
   test("PDF text: hand-built content stream with escapes, Tj, TJ and ' ops") {
@@ -732,6 +879,88 @@ class MediaSpec extends AnyFunSuite {
       s"4 0 obj << /Foo << /Bar 1 >> /Length ${body.length} >> stream\n").getBytes(US_ASCII) ++
       body ++ "\nendstream endobj\n%%EOF\n".getBytes(US_ASCII)
     assert(MediaCodec.extractPdfText(pdf2).contains("plain nested"))
+  }
+
+  test("PDF filters: every implemented filter and a cascade round-trip") {
+    val body = ("filters: (parens) \\ stream endstream " +
+      "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa 0123456789").getBytes(UTF_8)
+    val expected = "F:" + new String(body, UTF_8) + "#END"
+    for (filters <- Seq(
+      Seq("ASCIIHexDecode"),
+      Seq("ASCII85Decode"),
+      Seq("RunLengthDecode"),
+      Seq("LZWDecode"),
+      Seq("FlateDecode"),
+      Seq("ASCII85Decode", "FlateDecode"), // cascade: a85 FIRST in decode order
+      Seq("ASCIIHexDecode", "LZWDecode", "RunLengthDecode"))) {
+      val pdf = MediaCodec.buildPdfWithTextFiltered(2, "F:".getBytes(US_ASCII),
+        body, filters)
+      assert(MediaCodec.parse(pdf).contains(MediaInfo("pdf", 0, 0, 2)),
+        s"filters=$filters")
+      assert(MediaCodec.extractPdfText(pdf).contains(expected),
+        s"filters=$filters")
+    }
+    // image codecs carry no text: the DCT stream is skipped, the real one
+    // still extracts
+    val good = MediaCodec.buildPdfWithTextFiltered(1, "F:".getBytes(US_ASCII),
+      body, Seq("FlateDecode"))
+    val dct = ("9 0 obj << /Length 3 /Filter /DCTDecode >> stream\nabc\n" +
+      "endstream endobj\n").getBytes(US_ASCII)
+    assert(MediaCodec.extractPdfText(good.dropRight(6) ++ dct).contains(expected))
+    // an indirect /Filter reference can't be resolved -> stream skipped,
+    // not misread as raw bytes
+    val indirect = ("%PDF-1.4\n" +
+      "7 0 obj << /Length 8 /Filter 8 0 R >> stream\nBT(x)TjET\n" +
+      "endstream endobj\n%%EOF\n").getBytes(US_ASCII)
+    assert(MediaCodec.extractPdfText(indirect).isEmpty)
+  }
+
+  test("PDF LZW: spec bitstream details — width bumps, EarlyChange, K[w]K") {
+    // ASCII85 known-vector first (public example): "Man " <-> "9jqo^"
+    val a85 = MediaCodec.pdfFilterEncode("Man ".getBytes(US_ASCII), "ASCII85Decode")
+    assert(new String(a85, US_ASCII) == "9jqo^~>",
+      s"ASCII85 encoder does not match the public vector: ${new String(a85, US_ASCII)}")
+    // LZW round-trips across the 9->10->11 bit width boundaries: inputs
+    // with many distinct pairs grow the table past 511 and 1023 entries
+    for (n <- Seq(3, 64, 2000, 9000)) {
+      val d = Array.tabulate(n)(i => ((i * 131 + (i >> 3) * 17 + i * i % 251) & 0xff).toByte)
+      val enc = MediaCodec.lzwEncodePdf(d)
+      val dec = MediaCodec.lzwDecodePdf(enc, 1 << 20, earlyChange = true)
+      assert(dec.isDefined, s"n=$n")
+      assert(java.util.Arrays.equals(dec.get, d), s"n=$n")
+      // repetitive input drives the K[w]K case (code == next table slot)
+      val rep = Array.fill(n)('a'.toByte)
+      val encR = MediaCodec.lzwEncodePdf(rep)
+      val decR = MediaCodec.lzwDecodePdf(encR, 1 << 20, earlyChange = true)
+      assert(decR.isDefined && java.util.Arrays.equals(decR.get, rep), s"rep n=$n")
+    }
+    // EarlyChange mismatch MATTERS: an EC=1 stream long enough to cross
+    // the first width bump must NOT decode identically under EC=0
+    val big = Array.tabulate(4000)(i => ((i * 7 + i / 5) & 0xff).toByte)
+    val ec1 = MediaCodec.lzwEncodePdf(big, earlyChange = true)
+    val underEc0 = MediaCodec.lzwDecodePdf(ec1, 1 << 20, earlyChange = false)
+    assert(!underEc0.exists(java.util.Arrays.equals(_, big)),
+      "EC0 decode of an EC1 stream should not round-trip — test is vacuous")
+    // and the dict's /EarlyChange 0 is honored end-to-end: hand-build a
+    // PDF whose stream is EC=0-encoded
+    val raw = "BT (early change zero) Tj ET".getBytes(US_ASCII)
+    val z = MediaCodec.lzwEncodePdf(raw, earlyChange = false)
+    val pdf = ("%PDF-1.4\n2 0 obj << /Type /Pages /Count 1 /Kids [] >> endobj\n" +
+      s"4 0 obj << /Length ${z.length} /Filter /LZWDecode " +
+      "/DecodeParms << /EarlyChange 0 >> >> stream\n").getBytes(US_ASCII) ++
+      z ++ "\nendstream endobj\n%%EOF\n".getBytes(US_ASCII)
+    assert(MediaCodec.extractPdfText(pdf).contains("early change zero"))
+    // corrupt guard: a non-root first code is rejected (9-bit 100000010
+    // = code 258 with an empty table)
+    assert(MediaCodec.lzwDecodePdf(Array[Byte](0x81.toByte, 0x00),
+      1 << 20, earlyChange = true).isEmpty)
+    // a PNG predictor (>= 2) skips the stream instead of emitting garbage
+    val zp = MediaCodec.lzwEncodePdf(raw)
+    val pdfPred = ("%PDF-1.4\n" +
+      s"4 0 obj << /Length ${zp.length} /Filter /LZWDecode " +
+      "/DecodeParms << /Predictor 12 /Columns 4 >> >> stream\n").getBytes(US_ASCII) ++
+      zp ++ "\nendstream endobj\n%%EOF\n".getBytes(US_ASCII)
+    assert(MediaCodec.extractPdfText(pdfPred).isEmpty)
   }
 
   test("PDF feature: text-derived primitives are exact; stub only for undecodable") {
