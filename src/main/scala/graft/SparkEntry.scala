@@ -940,6 +940,54 @@ object SparkEntry {
       Multimodal.pdfText(media).orderBy("doc_id")
     }),
 
+    // mm12: PDF /DecodeParms PREDICTORS — TIFF horizontal differencing
+    // and the PNG row filters applied under Flate/LZW (§7.4.4.4), the
+    // parameter real xref/image/content streams actually carry; rotated
+    // per doc id across PNG-predictor-over-Flate, PNG-over-LZW and
+    // TIFF-2-over-Flate so both reversal paths and both host filters
+    // run. The oracle replays the expected text from the documents
+    // table without touching PDF bytes, any codec or any predictor.
+    "mm12_pdf_predictor" -> ((s, dir) => {
+      import java.nio.charset.StandardCharsets.UTF_8
+      val media = Multimodal.synthTable(documents(s, dir)) { (id, payload) =>
+        val (filters, predictor, columns) = (id % 3).toInt match {
+          case 0 => (Seq("FlateDecode"), 15, 16 + (id % 17).toInt)
+          case 1 => (Seq("LZWDecode"), 12, 24)
+          case _ => (Seq("FlateDecode"), 2, 20)
+        }
+        val n = payload.length
+        (s"media://$id.pr.pdf",
+          graft.pipeline.MediaCodec.buildPdfWithTextFiltered(1 + n % 5,
+            s"DOC$id:".getBytes(UTF_8), payload, filters, predictor, columns))
+      }
+      Multimodal.pdfText(media).orderBy("doc_id")
+    }),
+
+    // mm13: PDF RASTER branch — the images a PDF EMBEDS: /Subtype
+    // /Image XObjects whose stream body is a real JPEG (/DCTDecode —
+    // how PDFs overwhelmingly carry photographs), rotated per doc id
+    // across baseline, 4:2:0 and progressive JPEG layouts, half of them
+    // behind an ASCII85 transport filter, decoded end to end by the
+    // in-house PDF walk + JPEG decoder. Same flat-block DC synthesis as
+    // mm7/mm9/mm10, so the oracle replays pixels as pure integer
+    // arithmetic without touching PDF or JPEG bytes.
+    "mm13_pdf_image_stats" -> ((s, dir) => {
+      val media = Multimodal.synthTable(documents(s, dir)) { (id, payload) =>
+        val n = payload.length
+        val w = 8 + n % 24; val h = 8 + n % 16
+        val dc = (br: Int, bc: Int) => ((id + br * 5L + bc * 11L) % 256).toInt - 128
+        val jpeg = (id % 3).toInt match {
+          case 0 => graft.pipeline.JpegCodec.buildJpegDcOnly(w, h, dc)
+          case 1 => graft.pipeline.JpegCodec.buildJpegDcOnly420(w, h, dc)
+          case _ => graft.pipeline.JpegCodec.buildJpegDcOnly420Progressive(w, h, dc)
+        }
+        val transport = if (id % 2 == 0) Nil else Seq("ASCII85Decode")
+        (s"media://$id.i.pdf",
+          graft.pipeline.MediaCodec.buildPdfWithImages(Seq((jpeg, w, h)), transport))
+      }
+      Multimodal.pdfImageStats(media).orderBy("doc_id", "channel")
+    }),
+
     // ---- boilerplate main-content extraction (north-star branch) ----
     "bp1_main_content" -> ((s, dir) => {
       import s.implicits._
@@ -1588,6 +1636,35 @@ object SparkEntry {
         "CAST(1 + octet_length(encode(text)) % 5 AS INT) AS n_pages, " +
         "'DOC' || CAST(doc_id AS VARCHAR) || ':' || text || '#END' AS text " +
         "FROM documents ORDER BY doc_id"),
+    // predictor replay: same expected-text formula again — whichever
+    // predictor/filter pair the id selects (PNG-over-Flate, PNG-over-LZW,
+    // TIFF-2-over-Flate), the decode must reverse the row filters /
+    // horizontal differencing byte-exactly underneath the codec; the
+    // oracle never runs a predictor (PNG-row padding is trailing spaces
+    // outside BT..ET, invisible to the tokenizer)
+    "mm12_pdf_predictor" ->
+      ("SELECT doc_id, 'media://' || CAST(doc_id AS VARCHAR) || '.pr.pdf' AS media_ref, " +
+        "CAST(1 + octet_length(encode(text)) % 5 AS INT) AS n_pages, " +
+        "'DOC' || CAST(doc_id AS VARCHAR) || ':' || text || '#END' AS text " +
+        "FROM documents ORDER BY doc_id"),
+    // embedded-image replay: identical pixel formula to mm7/mm9/mm10
+    // (flat-chroma DC synthesis: pixel = dc + 128 on every channel) —
+    // the Spark side reaches it only through the PDF XObject walk,
+    // transport-filter reversal (ASCII85 for odd ids) and whichever JPEG
+    // layout (baseline / 4:2:0 / progressive) the id selects
+    "mm13_pdf_image_stats" ->
+      ("WITH m AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents), " +
+        "d AS (SELECT doc_id, 8 + n % 24 AS w, 8 + n % 16 AS h FROM m), " +
+        "px AS (SELECT d.doc_id, d.w, d.h, ch.ch, " +
+        "(d.doc_id + (r.r // 8) * 5 + (c.c // 8) * 11) % 256 AS v " +
+        "FROM d, generate_series(0, 22) AS r(r), generate_series(0, 30) AS c(c), " +
+        "(VALUES (0),(1),(2)) AS ch(ch) WHERE r.r < d.h AND c.c < d.w) " +
+        "SELECT doc_id, 'media://' || CAST(doc_id AS VARCHAR) || '.i.pdf' AS media_ref, " +
+        "CAST(0 AS INT) AS image_idx, " +
+        "CAST(w AS INT) AS width, CAST(h AS INT) AS height, CAST(ch AS INT) AS channel, " +
+        "CAST(sum(v) AS BIGINT) AS px_sum, CAST(min(v) AS INT) AS px_min, " +
+        "CAST(max(v) AS INT) AS px_max " +
+        "FROM px GROUP BY doc_id, w, h, ch ORDER BY doc_id, ch"),
     // real-container replay: format/dims from the synthesis formulas, and
     // n_bytes = payload + the EXACT container overhead (PNG sig+IHDR+IDAT+
     // IEND framing; GIF header/LSD + comment sub-block length bytes; JPEG

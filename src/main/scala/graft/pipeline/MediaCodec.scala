@@ -947,7 +947,8 @@ object MediaCodec {
     * the /Filter array lists decode order, §7.4.1: first array entry is
     * the first DECODE step, so we ENCODE through the list reversed). */
   def buildPdfWithTextFiltered(nPages: Int, header: Array[Byte], body: Array[Byte],
-                               filters: Seq[String]): Array[Byte] = {
+                               filters: Seq[String], predictor: Int = 1,
+                               columns: Int = 1): Array[Byte] = {
     val content = new ByteArrayOutputStream(header.length + body.length + 64)
     def cs(x: String): Unit = { val b = x.getBytes(US_ASCII); content.write(b, 0, b.length) }
     cs("BT /F1 12 Tf 72 720 Td (")
@@ -955,8 +956,10 @@ object MediaCodec {
     cs(") Tj [(")
     pdfEscape(body, content)
     cs(") -250 (#END)] TJ ET")
+    // predictor first (it sits under the filter at write time), then
     // /Filter lists DECODE order; encoding applies the reverse
-    val streamBytes = filters.reverse.foldLeft(content.toByteArray) { (d, f) =>
+    val predicted = predictEncode(content.toByteArray, predictor, 1, columns)
+    val streamBytes = filters.reverse.foldLeft(predicted) { (d, f) =>
       pdfFilterEncode(d, f)
     }
     val out = new ByteArrayOutputStream(streamBytes.length + 256)
@@ -973,9 +976,50 @@ object MediaCodec {
       case Seq(one) => s" /Filter /$one"
       case many => many.map("/" + _).mkString(" /Filter [", " ", "]")
     }
-    s(s"$contentsObj 0 obj << /Length ${streamBytes.length}$filter >> stream\n")
+    val parms =
+      if (predictor <= 1) ""
+      else s" /DecodeParms << /Predictor $predictor /Colors 1" +
+        s" /BitsPerComponent 8 /Columns $columns >>"
+    s(s"$contentsObj 0 obj << /Length ${streamBytes.length}$filter$parms >> stream\n")
     out.write(streamBytes, 0, streamBytes.length)
     s("\nendstream endobj\n%%EOF\n")
+    out.toByteArray
+  }
+
+  /** Minimal PDF embedding raster images the way real PDFs do: one page
+    * whose /Resources reference /Subtype /Image XObject streams with
+    * /Filter /DCTDecode (the stream body IS a JPEG file), optionally
+    * behind extra transport filters (listed BEFORE DCTDecode in /Filter
+    * array decode order, applied here at write time). A small real
+    * content stream draws each image so the page is well-formed. */
+  def buildPdfWithImages(images: Seq[(Array[Byte], Int, Int)],
+                         transport: Seq[String] = Nil): Array[Byte] = {
+    val out = new ByteArrayOutputStream(images.map(_._1.length).sum + 512)
+    def s(x: String): Unit = { val b = x.getBytes(US_ASCII); out.write(b, 0, b.length) }
+    s("%PDF-1.4\n")
+    s("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    s("2 0 obj << /Type /Pages /Count 1 /Kids [3 0 R] >> endobj\n")
+    val xobjRefs = images.indices.map(i => s"/Im$i ${5 + i} 0 R").mkString(" ")
+    s(s"3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R" +
+      s" /Resources << /XObject << $xobjRefs >> >> >> endobj\n")
+    val draw = images.indices.map(i => s"q 1 0 0 1 0 0 cm /Im$i Do Q").mkString(" ")
+    val content = draw.getBytes(US_ASCII)
+    s(s"4 0 obj << /Length ${content.length} >> stream\n")
+    out.write(content, 0, content.length)
+    s("\nendstream endobj\n")
+    for (((jpeg, w, h), i) <- images.zipWithIndex) {
+      val body = transport.reverse.foldLeft(jpeg)((d, f) => pdfFilterEncode(d, f))
+      val filter = (transport :+ "DCTDecode") match {
+        case Seq(one) => s"/$one"
+        case many => many.map("/" + _).mkString("[", " ", "]")
+      }
+      s(s"${5 + i} 0 obj << /Type /XObject /Subtype /Image /Width $w /Height $h" +
+        s" /ColorSpace /DeviceRGB /BitsPerComponent 8 /Filter $filter" +
+        s" /Length ${body.length} >> stream\n")
+      out.write(body, 0, body.length)
+      s("\nendstream endobj\n")
+    }
+    s("%%EOF\n")
     out.toByteArray
   }
 
@@ -1036,6 +1080,132 @@ object MediaCodec {
     case other => sys.error(s"pdfFilterEncode: unsupported filter $other")
   }
 
+  /** Reverse a /DecodeParms predictor over a filter's decoded output
+    * (ISO 32000-1 §7.4.4.4). Predictor 1 = none; 2 = TIFF horizontal
+    * differencing (8-bit components only here); >= 10 = PNG row filters
+    * (each row prefixed by its filter-type byte, exactly ISO/IEC 15948
+    * §9.2 with bpp = colors*bpc/8). None when the geometry doesn't
+    * divide the data or a parameter is out of the supported range —
+    * callers then skip the stream rather than emit garbage. */
+  private[graft] def unpredict(d: Array[Byte], predictor: Int, colors: Int,
+                               bpc: Int, columns: Int): Option[Array[Byte]] = {
+    if (predictor <= 1) return Some(d)
+    if (colors < 1 || colors > 4 || columns < 1) return None
+    if (predictor == 2) {
+      if (bpc != 8) return None // sub-byte TIFF differencing: out of scope
+      val rowBytes = colors * columns
+      val out = java.util.Arrays.copyOf(d, d.length)
+      var r = 0
+      while (r * rowBytes < out.length) {
+        val start = r * rowBytes
+        val end = math.min(start + rowBytes, out.length) // tolerate partial tail
+        var j = start + colors
+        while (j < end) {
+          out(j) = ((out(j) + out(j - colors)) & 0xff).toByte
+          j += 1
+        }
+        r += 1
+      }
+      Some(out)
+    } else if (predictor >= 10 && predictor <= 15) {
+      if (bpc != 1 && bpc != 2 && bpc != 4 && bpc != 8 && bpc != 16) return None
+      val bitsPerPixel = colors * bpc
+      val bpp = math.max(1, bitsPerPixel / 8)
+      val rowBytes = (columns.toLong * bitsPerPixel + 7) / 8
+      if (rowBytes > Int.MaxValue - 1) return None
+      val stride = rowBytes.toInt + 1
+      if (d.length == 0 || d.length % stride != 0) return None
+      val rows = d.length / stride
+      val out = new Array[Byte](rows * rowBytes.toInt)
+      var r = 0
+      while (r < rows) {
+        val ft = d(r * stride) & 0xff
+        if (ft > 4) return None
+        val src = r * stride + 1
+        val dst = r * rowBytes.toInt
+        var j = 0
+        while (j < rowBytes) {
+          val x = d(src + j) & 0xff
+          val a = if (j >= bpp) out(dst + j - bpp) & 0xff else 0
+          val bb = if (r > 0) out(dst - rowBytes.toInt + j) & 0xff else 0
+          val c = if (r > 0 && j >= bpp) out(dst - rowBytes.toInt + j - bpp) & 0xff else 0
+          val v = ft match {
+            case 0 => x
+            case 1 => x + a
+            case 2 => x + bb
+            case 3 => x + (a + bb) / 2
+            case _ => x + paeth(a, bb, c)
+          }
+          out(dst + j) = (v & 0xff).toByte
+          j += 1
+        }
+        r += 1
+      }
+      Some(out)
+    } else None
+  }
+
+  /** The synthesis twin of [[unpredict]]: apply a predictor FORWARD so
+    * the builders can write /DecodeParms streams the decode path must
+    * actually reverse. PNG predictors pad the final partial row with
+    * spaces (0x20 — harmless between content-stream operators) and cycle
+    * the row filter type through all five, which is exactly what
+    * /Predictor 15 ("PNG optimum, per row") licenses. 8-bit components
+    * only — that is all the builders synthesize. */
+  private[graft] def predictEncode(d: Array[Byte], predictor: Int, colors: Int,
+                                   columns: Int): Array[Byte] = {
+    require(colors >= 1 && columns >= 1, "bad predictor geometry")
+    if (predictor <= 1) return d
+    val rowBytes = colors * columns
+    if (predictor == 2) {
+      val out = java.util.Arrays.copyOf(d, d.length)
+      var r = 0
+      while (r * rowBytes < out.length) {
+        val start = r * rowBytes
+        val end = math.min(start + rowBytes, out.length)
+        var j = end - 1
+        while (j >= start + colors) {
+          out(j) = ((out(j) - out(j - colors)) & 0xff).toByte
+          j -= 1
+        }
+        r += 1
+      }
+      out
+    } else {
+      require(predictor >= 10 && predictor <= 15, s"predictor $predictor")
+      val rows = (d.length + rowBytes - 1) / rowBytes
+      val padded = java.util.Arrays.copyOf(d, rows * rowBytes)
+      java.util.Arrays.fill(padded, d.length, padded.length, ' '.toByte)
+      val bpp = colors // bpc is 8
+      val out = new Array[Byte](rows * (rowBytes + 1))
+      var r = 0
+      while (r < rows) {
+        val ft = r % 5 // exercise every row filter across the stream
+        out(r * (rowBytes + 1)) = ft.toByte
+        val src = r * rowBytes
+        val dst = r * (rowBytes + 1) + 1
+        var j = 0
+        while (j < rowBytes) {
+          val x = padded(src + j) & 0xff
+          val a = if (j >= bpp) padded(src + j - bpp) & 0xff else 0
+          val bb = if (r > 0) padded(src - rowBytes + j) & 0xff else 0
+          val c = if (r > 0 && j >= bpp) padded(src - rowBytes + j - bpp) & 0xff else 0
+          val v = ft match {
+            case 0 => x
+            case 1 => x - a
+            case 2 => x - bb
+            case 3 => x - (a + bb) / 2
+            case _ => x - paeth(a, bb, c)
+          }
+          out(dst + j) = (v & 0xff).toByte
+          j += 1
+        }
+        r += 1
+      }
+      out
+    }
+  }
+
   /** Extract the shown text from every content stream, in stream order:
     * find each `<< ... >> stream` block, read exactly /Length bytes (so
     * compressed bytes that happen to spell "endstream" cannot truncate
@@ -1047,17 +1217,52 @@ object MediaCodec {
     if (!(b.length >= 5 && b(0) == '%' && b(1) == 'P' && b(2) == 'D' &&
       b(3) == 'F' && b(4) == '-')) return None
     val out = new ByteArrayOutputStream(256)
-    var searchFrom = 0
     var sawStream = false
+    walkPdfStreams(b) { (dictStart, dictEnd, streamBytes) =>
+      // image XObjects carry pixels, not text — their bytes go to
+      // extractPdfImages; tokenizing them would emit garbage
+      val isImage =
+        indexOfAsciiIn(b, "/Subtype /Image", dictStart, dictEnd) >= 0 ||
+          indexOfAsciiIn(b, "/Subtype/Image", dictStart, dictEnd) >= 0
+      if (!isImage) {
+        val content = readDictFilters(b, dictStart, dictEnd).flatMap { filters =>
+          // /DecodeParms predictors (§7.4.4.4): reverse TIFF horizontal
+          // differencing and the PNG row filters after the filter
+          // cascade; geometries we can't honor (sub-byte TIFF, rows
+          // that don't divide the data) skip the stream rather than
+          // emit garbage. A single predictor is applied for the whole
+          // cascade — real content streams pair a predictor with one
+          // Flate/LZW filter.
+          val predictor = readDictInt(b, dictStart, dictEnd, "/Predictor ", 1)
+          val colors = readDictInt(b, dictStart, dictEnd, "/Colors ", 1)
+          val bpc = readDictInt(b, dictStart, dictEnd, "/BitsPerComponent ", 8)
+          val columns = readDictInt(b, dictStart, dictEnd, "/Columns ", 1)
+          val earlyChange =
+            indexOfAsciiIn(b, "/EarlyChange 0", dictStart, dictEnd) < 0
+          applyPdfFilters(streamBytes, filters, 64 << 20, earlyChange)
+            .flatMap(unpredict(_, predictor, colors, bpc, columns))
+        }
+        content.foreach { c => sawStream = true; tokenizeContent(c, out) }
+      }
+    }
+    if (!sawStream) None else Some(new String(out.toByteArray, UTF_8))
+  }
+
+  /** Walk every `<< dict >> stream ... endstream` block: find the dict
+    * bounds by `>>`-before-`stream` and '<<'/'>>' NESTING depth (stream
+    * dicts commonly hold nested /DecodeParms dicts), read exactly
+    * /Length bytes (so compressed bytes that happen to spell
+    * "endstream" cannot truncate the walk), and hand (dictStart,
+    * dictEnd, body) to `f` in document order. Streams with a missing /
+    * indirect /Length or one past the buffer are skipped. */
+  private def walkPdfStreams(b: Array[Byte])(
+      f: (Int, Int, Array[Byte]) => Unit): Unit = {
+    var searchFrom = 0
     var cursor = 0
     while ({ cursor = indexOfAscii(b, "stream", searchFrom); cursor >= 0 }) {
       // the keyword must be followed by EOL (§7.3.8.1) — "endstream"
       // contains "stream" too, so require the dict close right before
       val dictEnd = lastIndexOfAscii(b, ">>", cursor)
-      // the matching "<<" must be found by nesting depth, not by the
-      // nearest one: stream dicts commonly hold nested dictionaries
-      // (/DecodeParms << ... >>), and the innermost "<<" would leave
-      // /Length outside the searched range, silently skipping the stream
       val dictStart = if (dictEnd < 0) -1 else balancedDictStart(b, dictEnd)
       var bodyAt = cursor + 6
       if (bodyAt < b.length && b(bodyAt) == '\r') bodyAt += 1
@@ -1066,35 +1271,55 @@ object MediaCodec {
       if (validKeyword && dictStart >= 0 && dictEnd > dictStart) {
         val len = readDictLength(b, dictStart, dictEnd)
         if (len >= 0 && bodyAt + len <= b.length && len <= (64 << 20)) {
-          val streamBytes = java.util.Arrays.copyOfRange(b, bodyAt, bodyAt + len)
-          val content = readDictFilters(b, dictStart, dictEnd).flatMap { filters =>
-            // PNG/TIFF predictors (/Predictor >= 2) belong to xref/image
-            // streams; a content stream declaring one is out of scope —
-            // skip it (/Predictor 1 means "none" and decodes normally)
-            val predAt = indexOfAsciiIn(b, "/Predictor ", dictStart, dictEnd)
-            val predictor =
-              if (predAt < 0) 1
-              else {
-                var j = predAt + 11
-                var v = 0
-                while (j < dictEnd && b(j) >= '0' && b(j) <= '9' && v < 1000) {
-                  v = v * 10 + (b(j) - '0'); j += 1
-                }
-                if (v == 0) 1 else v
-              }
-            if (predictor > 1) None
-            else {
-              val earlyChange =
-                indexOfAsciiIn(b, "/EarlyChange 0", dictStart, dictEnd) < 0
-              applyPdfFilters(streamBytes, filters, 64 << 20, earlyChange)
-            }
-          }
-          content.foreach { c => sawStream = true; tokenizeContent(c, out) }
+          f(dictStart, dictEnd, java.util.Arrays.copyOfRange(b, bodyAt, bodyAt + len))
           searchFrom = bodyAt + len
         } else searchFrom = cursor + 6
       } else searchFrom = cursor + 6
     }
-    if (!sawStream) None else Some(new String(out.toByteArray, UTF_8))
+  }
+
+  /** Extract embedded raster images from a PDF: every /Subtype /Image
+    * XObject stream whose FINAL filter is DCTDecode (an embedded JPEG —
+    * how PDFs overwhelmingly carry photographs) is returned as the JPEG
+    * bytes, with any preceding transport filters (ASCII85/Hex, Flate,
+    * LZW, RunLength) reversed first. Other image codecs (JPXDecode,
+    * CCITT, JBIG2) and raw-sample images are skipped. Document order. */
+  def extractPdfImages(b: Array[Byte]): Seq[Array[Byte]] = {
+    if (!(b.length >= 5 && b(0) == '%' && b(1) == 'P' && b(2) == 'D' &&
+      b(3) == 'F' && b(4) == '-')) return Nil
+    val images = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+    walkPdfStreams(b) { (dictStart, dictEnd, streamBytes) =>
+      val isImage =
+        indexOfAsciiIn(b, "/Subtype /Image", dictStart, dictEnd) >= 0 ||
+          indexOfAsciiIn(b, "/Subtype/Image", dictStart, dictEnd) >= 0
+      if (isImage) {
+        readDictFilters(b, dictStart, dictEnd).foreach { filters =>
+          if (filters.lastOption.contains("DCTDecode")) {
+            val earlyChange =
+              indexOfAsciiIn(b, "/EarlyChange 0", dictStart, dictEnd) < 0
+            applyPdfFilters(streamBytes, filters.dropRight(1), 64 << 20, earlyChange)
+              .foreach(images += _)
+          }
+        }
+      }
+    }
+    images.toSeq
+  }
+
+  /** Read an integer-valued dict key (searched anywhere in
+    * [dictStart,dictEnd), nested dicts included — /DecodeParms values
+    * live one level down). `default` when absent or non-numeric. */
+  private def readDictInt(b: Array[Byte], dictStart: Int, dictEnd: Int,
+                          key: String, default: Int): Int = {
+    val at = indexOfAsciiIn(b, key, dictStart, dictEnd)
+    if (at < 0) return default
+    var i = at + key.length
+    var v = 0L
+    var any = false
+    while (i < dictEnd && b(i) >= '0' && b(i) <= '9' && v <= Int.MaxValue) {
+      v = v * 10 + (b(i) - '0'); any = true; i += 1
+    }
+    if (!any || v > Int.MaxValue) default else v.toInt
   }
 
   private def readDictLength(b: Array[Byte], dictStart: Int, dictEnd: Int): Int = {

@@ -231,6 +231,36 @@ object Multimodal {
     }.toDF()
   }
 
+  final case class PdfImageStatsRow(
+      doc_id: Long, media_ref: String, image_idx: Int, width: Int, height: Int,
+      channel: Int, px_sum: Long, px_min: Int, px_max: Int)
+
+  /** PDF raster branch — decode the images a PDF EMBEDS, end to end:
+    * walk the /Subtype /Image XObject streams, reverse any transport
+    * filters, and hand the DCTDecode payload (an embedded JPEG — how
+    * PDFs overwhelmingly carry photographs) to the in-house JPEG
+    * decoder (baseline, 4:2:0 and progressive), reduced task-locally to
+    * per-channel integer stats, one row per (image, channel).
+    * Scan-local like pixelStats; the 64 MB decode cap bounds task
+    * memory. PDFs with no decodable embedded image yield no row. */
+  def pdfImageStats(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { it =>
+      it.flatMap { r =>
+        MediaCodec.extractPdfImages(r.content).iterator.zipWithIndex.flatMap {
+          case (jpeg, idx) =>
+            MediaCodec.decodeImagePixels(jpeg).toSeq.flatMap { px =>
+              px.stats.iterator.zipWithIndex.map { case (s, ch) =>
+                PdfImageStatsRow(r.doc_id, r.media_ref, idx, px.width, px.height,
+                  ch, s.sum, s.min, s.max)
+              }
+            }
+        }
+      }
+    }.toDF()
+  }
+
   final case class PdfFeatureRow(
       doc_id: Long, media_ref: String, text_bytes: Long, n_pages: Int,
       n_tokens: Long, n_digits: Long)

@@ -954,13 +954,97 @@ class MediaSpec extends AnyFunSuite {
     // = code 258 with an empty table)
     assert(MediaCodec.lzwDecodePdf(Array[Byte](0x81.toByte, 0x00),
       1 << 20, earlyChange = true).isEmpty)
-    // a PNG predictor (>= 2) skips the stream instead of emitting garbage
+    // a declared PNG predictor whose geometry does not divide the data
+    // (28 decoded bytes, stride 5) skips the stream instead of emitting
+    // garbage — the declared predictor is a lie for this stream
     val zp = MediaCodec.lzwEncodePdf(raw)
     val pdfPred = ("%PDF-1.4\n" +
       s"4 0 obj << /Length ${zp.length} /Filter /LZWDecode " +
       "/DecodeParms << /Predictor 12 /Columns 4 >> >> stream\n").getBytes(US_ASCII) ++
       zp ++ "\nendstream endobj\n%%EOF\n".getBytes(US_ASCII)
     assert(MediaCodec.extractPdfText(pdfPred).isEmpty)
+  }
+
+  test("PDF predictors: PNG row filters and TIFF differencing reverse exactly") {
+    // unit round-trip: predictEncode -> unpredict is the identity for
+    // every supported predictor and awkward geometry (predictEncode pads
+    // PNG rows with trailing spaces, so compare the prefix)
+    for {
+      (pred, cols) <- Seq((2, 7), (2, 1), (10, 5), (12, 4), (15, 16), (15, 3))
+      n <- Seq(1, 5, 63, 64, 257)
+    } {
+      val d = Array.tabulate(n)(i => ((i * 89 + i / 3 + pred * 31) & 0xff).toByte)
+      val enc = MediaCodec.predictEncode(d, pred, 1, cols)
+      val dec = MediaCodec.unpredict(enc, pred, 1, 8, cols)
+      assert(dec.isDefined, s"pred=$pred cols=$cols n=$n")
+      assert(java.util.Arrays.equals(dec.get.take(n), d),
+        s"pred=$pred cols=$cols n=$n round-trip mismatch")
+      assert(dec.get.drop(n).forall(_ == ' '.toByte), s"pred=$pred pad not spaces")
+    }
+    // multi-component TIFF differencing: colors=3 differences at lag 3
+    val rgb = Array.tabulate(30)(i => (i * 11 % 256).toByte)
+    val encRgb = Array.tabulate(30) { i =>
+      if (i % 9 < 3) rgb(i) else ((rgb(i) - rgb(i - 3)) & 0xff).toByte
+    }
+    assert(MediaCodec.unpredict(encRgb, 2, 3, 8, 3)
+      .exists(java.util.Arrays.equals(_, rgb)))
+    // hostile inputs: bad row-filter byte, bad geometry, sub-byte TIFF
+    assert(MediaCodec.unpredict(Array[Byte](9, 0, 0, 0), 12, 1, 8, 3).isEmpty,
+      "row filter type 9 must reject")
+    assert(MediaCodec.unpredict(new Array[Byte](7), 12, 1, 8, 3).isEmpty,
+      "7 bytes at stride 4 must reject")
+    assert(MediaCodec.unpredict(new Array[Byte](8), 2, 1, 4, 8).isEmpty,
+      "sub-byte TIFF differencing is out of scope")
+    // end-to-end: the builder writes /DecodeParms the extractor must honor
+    val body = "predictor text 42 (parens) and \\ stream".getBytes(UTF_8)
+    val expected = "P:" + new String(body, UTF_8) + "#END"
+    for ((filters, pred, cols) <- Seq(
+      (Seq("FlateDecode"), 15, 16),
+      (Seq("LZWDecode"), 12, 24),
+      (Seq("FlateDecode"), 2, 20),
+      (Seq("ASCII85Decode", "FlateDecode"), 14, 9))) {
+      val pdf = MediaCodec.buildPdfWithTextFiltered(2, "P:".getBytes(US_ASCII),
+        body, filters, pred, cols)
+      assert(MediaCodec.extractPdfText(pdf).exists(_.contains(expected)),
+        s"filters=$filters pred=$pred cols=$cols")
+    }
+  }
+
+  test("PDF embedded images: XObject walk + transport reversal + JPEG decode") {
+    import graft.pipeline.JpegCodec
+    val dc = (br: Int, bc: Int) => ((br * 5 + bc * 11 + 3) % 256) - 128
+    val base = JpegCodec.buildJpegDcOnly(24, 16, dc)
+    val prog = JpegCodec.buildJpegDcOnly420Progressive(16, 16, dc)
+    // two images, no transport: walk returns both, byte-equal, in order
+    val pdf = MediaCodec.buildPdfWithImages(Seq((base, 24, 16), (prog, 16, 16)))
+    assert(MediaCodec.parse(pdf).exists(_.format == "pdf"))
+    val imgs = MediaCodec.extractPdfImages(pdf)
+    assert(imgs.length == 2)
+    assert(java.util.Arrays.equals(imgs(0), base) &&
+      java.util.Arrays.equals(imgs(1), prog))
+    // the extracted bytes decode identically to the originals
+    for ((img, orig) <- imgs.zip(Seq(base, prog))) {
+      val a = MediaCodec.decodeImagePixels(img)
+      val b = MediaCodec.decodeImagePixels(orig)
+      assert(a.isDefined && a.toSeq.map(_.stats.toSeq) == b.toSeq.map(_.stats.toSeq))
+    }
+    // transport filters in front of DCTDecode are reversed first
+    for (transport <- Seq(Seq("ASCII85Decode"), Seq("FlateDecode"),
+      Seq("ASCIIHexDecode", "RunLengthDecode"))) {
+      val p = MediaCodec.buildPdfWithImages(Seq((base, 24, 16)), transport)
+      val got = MediaCodec.extractPdfImages(p)
+      assert(got.length == 1 && java.util.Arrays.equals(got.head, base),
+        s"transport=$transport")
+    }
+    // image streams are invisible to TEXT extraction (no garbage tokens),
+    // and non-PDF bytes yield no images
+    assert(MediaCodec.extractPdfText(pdf).forall(!_.contains("JFIF")))
+    assert(MediaCodec.extractPdfImages("junk".getBytes(US_ASCII)).isEmpty)
+    // a non-DCT final filter (raw samples, JPX, ...) is skipped
+    val rawImg = ("%PDF-1.4\n5 0 obj << /Subtype /Image /Width 2 /Height 2" +
+      " /Filter /JPXDecode /Length 4 >> stream\nabcd\nendstream endobj\n%%EOF\n")
+      .getBytes(US_ASCII)
+    assert(MediaCodec.extractPdfImages(rawImg).isEmpty)
   }
 
   test("PDF feature: text-derived primitives are exact; stub only for undecodable") {
