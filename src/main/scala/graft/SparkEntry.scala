@@ -988,6 +988,65 @@ object SparkEntry {
       Multimodal.pdfImageStats(media).orderBy("doc_id", "channel")
     }),
 
+    // mm14: WebP — the format a third of crawl images actually are:
+    // all three container variants rotated per doc id (lossy VP8
+    // keyframe header with the 9D 01 2A start code and 14-bit LE dims,
+    // lossless VP8L with LSB-packed dims, extended VP8X with 24-bit
+    // canvas fields + an XMP payload chunk), parsed back through the
+    // real RIFF chunk walk. Oracle replays dims + exact container
+    // overhead from the synthesis formulas.
+    "mm14_webp_meta" -> ((s, dir) => {
+      val media = Multimodal.synthTable(documents(s, dir)) { (id, payload) =>
+        val n = payload.length
+        (s"media://$id.webp",
+          graft.pipeline.MediaCodec.buildWebp((id % 3).toInt, 16 + n % 64,
+            16 + n % 48, payload))
+      }
+      Multimodal.metaForOracle(media).orderBy("doc_id")
+    }),
+
+    // mm15: MP3 — crawl audio's dominant format: MPEG1 and MPEG2
+    // Layer III frame headers (different bitrate/samplerate tables),
+    // mono and stereo, half behind a real ID3v2.4 tag whose synchsafe
+    // size the parser must honor to find the frame sync. Duration is
+    // the CBR header estimate audio_bytes*8/bitrate — pure integer
+    // arithmetic the oracle replays.
+    "mm15_mp3_meta" -> ((s, dir) => {
+      val media = Multimodal.synthTable(documents(s, dir)) { (id, payload) =>
+        val n = payload.length
+        val bytes = (id % 4).toInt match {
+          case 0 => graft.pipeline.MediaCodec.buildMp3(mpeg1 = true, 9, 0,
+            mono = false, payload)
+          case 1 => graft.pipeline.MediaCodec.buildMp3(mpeg1 = true, 14, 2,
+            mono = true, payload, id3Len = n % 100)
+          case 2 => graft.pipeline.MediaCodec.buildMp3(mpeg1 = false, 8, 0,
+            mono = false, payload)
+          case _ => graft.pipeline.MediaCodec.buildMp3(mpeg1 = false, 14, 1,
+            mono = true, payload, id3Len = 200 + n % 1000)
+        }
+        (s"media://$id.mp3", bytes)
+      }
+      Multimodal.avMeta(media).orderBy("doc_id")
+    }),
+
+    // mm16: EXIF orientation — the APP1/TIFF IFD0 walk every crawl
+    // image pipeline needs before resize: orientations 1-8 rotated per
+    // doc id, byte order alternating II/MM, every fifth JPEG bare (no
+    // EXIF -> 0). Dims must still parse through the inserted APP1.
+    "mm16_exif_orientation" -> ((s, dir) => {
+      val media = Multimodal.synthTable(documents(s, dir)) { (id, payload) =>
+        val n = payload.length
+        val base = graft.pipeline.MediaCodec.buildJpeg(16 + n % 64, 16 + n % 48, payload)
+        val bytes =
+          if (id % 5 == 4) base
+          else graft.pipeline.MediaCodec.withSegmentAfterSoi(base,
+            graft.pipeline.MediaCodec.exifApp1(1 + (id % 8).toInt,
+              bigEndian = id % 2 == 0))
+        (s"media://$id.jpg", bytes)
+      }
+      Multimodal.exifMeta(media).orderBy("doc_id")
+    }),
+
     // ---- boilerplate main-content extraction (north-star branch) ----
     "bp1_main_content" -> ((s, dir) => {
       import s.implicits._
@@ -1665,6 +1724,46 @@ object SparkEntry {
         "CAST(sum(v) AS BIGINT) AS px_sum, CAST(min(v) AS INT) AS px_min, " +
         "CAST(max(v) AS INT) AS px_max " +
         "FROM px GROUP BY doc_id, w, h, ch ORDER BY doc_id, ch"),
+    // WebP replay: dims from the synthesis formulas; n_bytes = payload +
+    // the EXACT per-variant container overhead incl. RIFF even padding
+    // (see MediaCodec.webpBytes) — the Spark side must chunk-walk the
+    // real bytes back to these numbers
+    "mm14_webp_meta" ->
+      ("WITH m AS (SELECT doc_id, CAST(doc_id % 3 AS INT) AS k, " +
+        "CAST(octet_length(encode(text)) AS BIGINT) AS n FROM documents) " +
+        "SELECT doc_id, 'media://' || CAST(doc_id AS VARCHAR) || '.webp' AS media_ref, " +
+        "'webp' AS format, " +
+        "CAST(CASE k WHEN 0 THEN 30 + n + n % 2 " +
+        "WHEN 1 THEN 25 + n + (n + 1) % 2 " +
+        "ELSE 38 + n + n % 2 END AS BIGINT) AS n_bytes, " +
+        "CAST(16 + n % 64 AS INT) AS width, " +
+        "CAST(16 + n % 48 AS INT) AS height " +
+        "FROM m ORDER BY 1"),
+    // MP3 replay: table lookups + the CBR duration estimate, all from
+    // the synthesis parameters; audio bytes exclude the ID3 tag the
+    // parser must skip by its synchsafe size
+    "mm15_mp3_meta" ->
+      ("WITH m AS (SELECT doc_id, CAST(doc_id % 4 AS INT) AS k, " +
+        "CAST(octet_length(encode(text)) AS BIGINT) AS n FROM documents) " +
+        "SELECT doc_id, 'media://' || CAST(doc_id AS VARCHAR) || '.mp3' AS media_ref, " +
+        "'mp3' AS format, " +
+        "CAST(4 + n + CASE k WHEN 1 THEN 10 + n % 100 " +
+        "WHEN 3 THEN 210 + n % 1000 ELSE 0 END AS BIGINT) AS n_bytes, " +
+        "CAST(CASE k WHEN 0 THEN 44100 WHEN 1 THEN 32000 " +
+        "WHEN 2 THEN 22050 ELSE 24000 END AS INT) AS sample_rate, " +
+        "CAST(CASE WHEN k = 0 OR k = 2 THEN 2 ELSE 1 END AS INT) AS channels, " +
+        "CAST((4 + n) * 8 // CASE k WHEN 0 THEN 128 WHEN 1 THEN 320 " +
+        "WHEN 2 THEN 64 ELSE 160 END AS BIGINT) AS duration_ms " +
+        "FROM m ORDER BY 1"),
+    // EXIF replay: orientation straight from the rotation formula (0 for
+    // the bare every-fifth JPEG), dims from the same formulas as mm1 —
+    // the Spark side must walk APP1 -> TIFF IFD0 in BOTH byte orders
+    "mm16_exif_orientation" ->
+      ("WITH m AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents) " +
+        "SELECT doc_id, 'media://' || CAST(doc_id AS VARCHAR) || '.jpg' AS media_ref, " +
+        "CAST(16 + n % 64 AS INT) AS width, CAST(16 + n % 48 AS INT) AS height, " +
+        "CAST(CASE WHEN doc_id % 5 = 4 THEN 0 ELSE 1 + doc_id % 8 END AS INT) " +
+        "AS orientation FROM m ORDER BY 1"),
     // real-container replay: format/dims from the synthesis formulas, and
     // n_bytes = payload + the EXACT container overhead (PNG sig+IHDR+IDAT+
     // IEND framing; GIF header/LSD + comment sub-block length bytes; JPEG

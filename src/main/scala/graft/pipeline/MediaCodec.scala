@@ -232,6 +232,104 @@ object MediaCodec {
     out.toByteArray
   }
 
+  /** WebP container overhead per variant (RFC 9649 byte layout): RIFF
+    * header 12 B, each chunk 8 B header + even-padded body. Lossy (VP8 )
+    * carries a 10 B frame header before the payload; lossless (VP8L) a
+    * 5 B signature+dims prefix; extended (VP8X) a fixed 10 B chunk with
+    * the canvas size plus the payload in an XMP chunk. */
+  def webpBytes(kind: Int, n: Long): Long = kind match {
+    case 0 => 12 + 8 + 10 + n + (n & 1) // VP8 : header + tag/dims + data
+    case 1 => 12 + 8 + 5 + n + ((n + 1) & 1) // VP8L: sig + packed dims
+    case _ => 12 + 8 + 10 + 8 + n + (n & 1) // VP8X + XMP payload chunk
+  }
+
+  /** Minimal WebP of each of the three container variants real crawls
+    * carry: kind 0 = lossy VP8 keyframe header (start code 9D 01 2A +
+    * 14-bit LE dims), 1 = lossless VP8L (0x2F signature + LSB-packed
+    * 14-bit dims), 2 = extended VP8X (24-bit LE canvas-minus-one dims,
+    * payload carried in an XMP metadata chunk). The payload rides as
+    * opaque coefficient/metadata bytes — header-level synthesis, same
+    * contract as buildJpeg/buildWav. */
+  def buildWebp(kind: Int, w: Int, h: Int, payload: Array[Byte]): Array[Byte] = {
+    require(w >= 1 && h >= 1 && w <= 0x3fff && h <= 0x3fff, s"webp dims ${w}x$h")
+    val out = new ByteArrayOutputStream(payload.length + 64)
+    def fourcc(x: String): Unit = out.write(x.getBytes(US_ASCII), 0, 4)
+    def le32(v: Long): Unit = {
+      out.write((v & 0xff).toInt); out.write(((v >>> 8) & 0xff).toInt)
+      out.write(((v >>> 16) & 0xff).toInt); out.write(((v >>> 24) & 0xff).toInt)
+    }
+    def chunk(cc: String, body: Array[Byte]): Unit = {
+      fourcc(cc); le32(body.length.toLong)
+      out.write(body, 0, body.length)
+      if ((body.length & 1) == 1) out.write(0) // RIFF even padding
+    }
+    val body = kind match {
+      case 0 =>
+        val b = new ByteArrayOutputStream(10 + payload.length)
+        // 3-byte frame tag (keyframe, version 0, show_frame), then the
+        // start code and the two 14-bit little-endian dimension fields
+        b.write(0x10); b.write(0); b.write(0)
+        b.write(0x9d); b.write(0x01); b.write(0x2a)
+        b.write(w & 0xff); b.write((w >>> 8) & 0x3f)
+        b.write(h & 0xff); b.write((h >>> 8) & 0x3f)
+        b.write(payload, 0, payload.length)
+        ("VP8 ", b.toByteArray)
+      case 1 =>
+        val b = new ByteArrayOutputStream(5 + payload.length)
+        b.write(0x2f)
+        val v = (w - 1).toLong | ((h - 1).toLong << 14) // then alpha 0, version 0
+        b.write((v & 0xff).toInt); b.write(((v >>> 8) & 0xff).toInt)
+        b.write(((v >>> 16) & 0xff).toInt); b.write(((v >>> 24) & 0xff).toInt)
+        b.write(payload, 0, payload.length)
+        ("VP8L", b.toByteArray)
+      case _ =>
+        val b = new Array[Byte](10) // flags(1) reserved(3) w-1(le24) h-1(le24)
+        b(4) = ((w - 1) & 0xff).toByte; b(5) = (((w - 1) >>> 8) & 0xff).toByte
+        b(6) = (((w - 1) >>> 16) & 0xff).toByte
+        b(7) = ((h - 1) & 0xff).toByte; b(8) = (((h - 1) >>> 8) & 0xff).toByte
+        b(9) = (((h - 1) >>> 16) & 0xff).toByte
+        ("VP8X", b)
+    }
+    // RIFF size = everything after the 8-byte RIFF header
+    val chunksLen = {
+      val first = 8L + body._2.length + (body._2.length & 1)
+      if (kind == 2) first + 8 + payload.length + (payload.length & 1) else first
+    }
+    fourcc("RIFF"); le32(4 + chunksLen); fourcc("WEBP")
+    chunk(body._1, body._2)
+    if (kind == 2) chunk("XMP ", payload)
+    out.toByteArray
+  }
+
+  /** Minimal MPEG audio file: optional ID3v2 tag (10 B header + `id3Len`
+    * of tag body, synchsafe size), one valid Layer III frame header, and
+    * `payload` as opaque frame data. `mpeg1` selects MPEG1 vs MPEG2
+    * (different bitrate/samplerate tables — both must be exercised).
+    * Audio bytes = 4 + payload, so the CBR duration estimate is
+    * bytes*8/bitrate — externally replayable integer arithmetic. */
+  def buildMp3(mpeg1: Boolean, bitrateIdx: Int, srIdx: Int, mono: Boolean,
+               payload: Array[Byte], id3Len: Int = -1): Array[Byte] = {
+    require(bitrateIdx >= 1 && bitrateIdx <= 14 && srIdx >= 0 && srIdx <= 2)
+    require(id3Len < (1 << 21), "synchsafe size fits 28 bits; builder caps at 21")
+    val out = new ByteArrayOutputStream(payload.length + 16 + math.max(0, id3Len))
+    if (id3Len >= 0) {
+      out.write('I'); out.write('D'); out.write('3')
+      out.write(4); out.write(0) // version 2.4.0
+      out.write(0) // flags
+      out.write((id3Len >>> 21) & 0x7f); out.write((id3Len >>> 14) & 0x7f)
+      out.write((id3Len >>> 7) & 0x7f); out.write(id3Len & 0x7f) // synchsafe
+
+      var i = 0
+      while (i < id3Len) { out.write((i * 37 + 11) & 0xff); i += 1 }
+    }
+    out.write(0xff)
+    out.write(0xe0 | (if (mpeg1) 3 else 2) << 3 | 1 << 1 | 1) // sync|ver|LayerIII|noCRC
+    out.write(bitrateIdx << 4 | srIdx << 2) // bitrate | samplerate | no pad
+    out.write((if (mono) 3 else 0) << 6) // channel mode
+    out.write(payload, 0, payload.length)
+    out.toByteArray
+  }
+
   // -------------------------------------------------------------- parsers
 
   /** Sniff the magic and parse header metadata; None when the bytes are
@@ -248,8 +346,13 @@ object MediaCodec {
       b(3) == 'F' && b(4) == '-') parsePdf(b)
     else if (b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
       b(3) == 'F' && b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E') parseWav(b)
+    else if (b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
+      b(3) == 'F' && b(8) == 'W' && b(9) == 'E' && b(10) == 'B' && b(11) == 'P') parseWebp(b)
     else if (b.length >= 12 && b(4) == 'f' && b(5) == 't' && b(6) == 'y' &&
       b(7) == 'p') parseMp4(b)
+    // weakest magic LAST: an ID3v2 tag or a bare 11-bit frame sync
+    else if (b.length >= 4 && ((b(0) == 'I' && b(1) == 'D' && b(2) == '3') ||
+      ((b(0) & 0xff) == 0xff && (b(1) & 0xe0) == 0xe0))) parseMp3(b)
     else None
   }
 
@@ -320,6 +423,89 @@ object MediaCodec {
     None
   }
 
+  /** WebP (RFC 9649): walk the RIFF chunks for the first image-bearing
+    * one. "VP8 " = lossy bitstream — require the keyframe start code
+    * 9D 01 2A, dims are two 14-bit little-endian fields; "VP8L" =
+    * lossless — 0x2F signature then width-1/height-1 LSB-packed 14 bits
+    * each; "VP8X" = extended — canvas dims as 24-bit LE minus-one
+    * fields. Unknown chunks are skipped by size; a chunk overrunning the
+    * buffer rejects the file (truncation, forged size). */
+  private def parseWebp(b: Array[Byte]): Option[MediaInfo] = {
+    var i = 12
+    while (i + 8 <= b.length) {
+      val size = rdLe32(b, i + 4)
+      val body = i + 8
+      if (body + size > b.length) return None
+      if (b(i) == 'V' && b(i + 1) == 'P' && b(i + 2) == '8' && b(i + 3) == ' ') {
+        if (size < 10) return None
+        if ((b(body + 3) & 0xff) != 0x9d || (b(body + 4) & 0xff) != 0x01 ||
+          (b(body + 5) & 0xff) != 0x2a) return None
+        val w = (b(body + 6) & 0xff | (b(body + 7) & 0xff) << 8) & 0x3fff
+        val h = (b(body + 8) & 0xff | (b(body + 9) & 0xff) << 8) & 0x3fff
+        return Some(MediaInfo("webp", w, h, 0))
+      } else if (b(i) == 'V' && b(i + 1) == 'P' && b(i + 2) == '8' && b(i + 3) == 'L') {
+        if (size < 5 || (b(body) & 0xff) != 0x2f) return None
+        val v = rdLe32(b, body + 1)
+        val w = (v & 0x3fff).toInt + 1
+        val h = ((v >>> 14) & 0x3fff).toInt + 1
+        return Some(MediaInfo("webp", w, h, 0))
+      } else if (b(i) == 'V' && b(i + 1) == 'P' && b(i + 2) == '8' && b(i + 3) == 'X') {
+        if (size < 10) return None
+        val w = (b(body + 4) & 0xff | (b(body + 5) & 0xff) << 8 |
+          (b(body + 6) & 0xff) << 16) + 1
+        val h = (b(body + 7) & 0xff | (b(body + 8) & 0xff) << 8 |
+          (b(body + 9) & 0xff) << 16) + 1
+        return Some(MediaInfo("webp", w, h, 0))
+      }
+      i = body + size.toInt + (size.toInt & 1) // chunks pad to even
+    }
+    None
+  }
+
+  // MPEG audio frame-header tables (ISO/IEC 11172-3 / 13818-3), Layer III
+  // only — the layer crawl audio actually is. Index 0 = "free format",
+  // 15 = invalid: both rejected.
+  private val Mp3BitrateV1 =
+    Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+  private val Mp3BitrateV2 =
+    Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+  private val Mp3SampleRateV1 = Array(44100, 48000, 32000)
+
+  /** MPEG audio (MP3): skip a leading ID3v2 tag (synchsafe 28-bit size),
+    * then read the first Layer III frame header — version, bitrate and
+    * samplerate table lookups, channel mode. Duration is the CBR
+    * estimate audio_bytes * 8 / bitrate (the standard header-only
+    * estimate; VBR needs a Xing walk, out of header-metadata scope). */
+  private def parseMp3(b: Array[Byte]): Option[MediaInfo] = {
+    var i = 0
+    if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
+      if ((b(6) | b(7) | b(8) | b(9)) < 0) return None // synchsafe: high bit clear
+      val tagLen = (b(6) & 0x7f) << 21 | (b(7) & 0x7f) << 14 |
+        (b(8) & 0x7f) << 7 | (b(9) & 0x7f)
+      i = 10 + tagLen
+      if (i < 0 || i + 4 > b.length) return None
+    }
+    if (i + 4 > b.length) return None
+    if ((b(i) & 0xff) != 0xff || (b(i + 1) & 0xe0) != 0xe0) return None
+    val version = (b(i + 1) >>> 3) & 3 // 0=MPEG2.5, 2=MPEG2, 3=MPEG1
+    val layer = (b(i + 1) >>> 1) & 3 // 1 = Layer III
+    if (version == 1 || layer != 1) return None
+    val bitrateIdx = (b(i + 2) >>> 4) & 0xf
+    val srIdx = (b(i + 2) >>> 2) & 3
+    if (bitrateIdx == 0 || bitrateIdx == 15 || srIdx == 3) return None
+    val bitrateKbps =
+      if (version == 3) Mp3BitrateV1(bitrateIdx) else Mp3BitrateV2(bitrateIdx)
+    val sampleRate = version match {
+      case 3 => Mp3SampleRateV1(srIdx)
+      case 2 => Mp3SampleRateV1(srIdx) / 2
+      case _ => Mp3SampleRateV1(srIdx) / 4
+    }
+    val channels = if (((b(i + 3) >>> 6) & 3) == 3) 1 else 2
+    val audioBytes = (b.length - i).toLong
+    Some(MediaInfo("mp3", 0, 0, 0, sampleRate, channels,
+      audioBytes * 8 / bitrateKbps))
+  }
+
   private def parsePng(b: Array[Byte]): Option[MediaInfo] = {
     // sig(8) len(4) "IHDR"(4) data(13) crc(4) -> need 33 bytes
     if (b.length < 33) return None
@@ -362,6 +548,103 @@ object MediaCodec {
       }
     }
     None
+  }
+
+  /** EXIF orientation (tag 0x0112) from a JPEG's APP1 segment: segment
+    * walk to APP1 with the "Exif\0\0" identifier, then a TIFF IFD0 walk
+    * honoring the header's declared endianness (II little / MM big —
+    * both occur in the wild). Only the eight defined rotation/mirror
+    * values are returned; anything else (missing APP1, non-SHORT type,
+    * out-of-range value, truncated IFD) is None — the EXIF block is
+    * attacker-controlled crawl bytes, never trusted beyond its bounds. */
+  def parseExifOrientation(b: Array[Byte]): Option[Int] = {
+    if (!(b.length >= 3 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8)) return None
+    var i = 2
+    while (i + 3 < b.length) {
+      if ((b(i) & 0xff) != 0xff) return None
+      while (i < b.length && (b(i) & 0xff) == 0xff) i += 1
+      if (i >= b.length) return None
+      val m = b(i) & 0xff
+      i += 1
+      if (m == 0xd9 || m == 0xda) return None // image data: no EXIF found
+      if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) {} // standalone, no length
+      else {
+        if (i + 1 >= b.length) return None
+        val len = rdBe16(b, i)
+        if (len < 2 || i + len > b.length) return None
+        if (m == 0xe1 && len >= 2 + 6 + 8 &&
+          b(i + 2) == 'E' && b(i + 3) == 'x' && b(i + 4) == 'i' &&
+          b(i + 5) == 'f' && b(i + 6) == 0 && b(i + 7) == 0) {
+          val tiff = i + 8 // TIFF header start; all IFD offsets relative here
+          val tiffEnd = i + len
+          val little =
+            if (b(tiff) == 'I' && b(tiff + 1) == 'I') true
+            else if (b(tiff) == 'M' && b(tiff + 1) == 'M') false
+            else return None
+          def rd16(at: Int): Int =
+            if (little) (b(at) & 0xff) | (b(at + 1) & 0xff) << 8
+            else (b(at) & 0xff) << 8 | (b(at + 1) & 0xff)
+          def rd32(at: Int): Long =
+            if (little) rdLe32(b, at) else rdBe32(b, at)
+          if (rd16(tiff + 2) != 42) return None
+          val ifd0 = rd32(tiff + 4)
+          val ifdAt = tiff + ifd0
+          if (ifd0 < 8 || ifdAt + 2 > tiffEnd || ifdAt > Int.MaxValue) return None
+          val nEntries = rd16(ifdAt.toInt)
+          var e = 0
+          while (e < nEntries) {
+            val at = ifdAt.toInt + 2 + e * 12
+            if (at + 12 > tiffEnd) return None
+            if (rd16(at) == 0x0112) {
+              // type must be SHORT (3), count 1; value inlined in the
+              // first two bytes of the 4-byte value field
+              if (rd16(at + 2) != 3 || rd32(at + 4) != 1L) return None
+              val v = rd16(at + 8)
+              return if (v >= 1 && v <= 8) Some(v) else None
+            }
+            e += 1
+          }
+          return None
+        }
+        i += len
+      }
+    }
+    None
+  }
+
+  /** Synthesis twin: a JPEG APP1 EXIF segment holding exactly one IFD0
+    * entry (orientation), in either byte order. 36 bytes total. */
+  def exifApp1(orientation: Int, bigEndian: Boolean): Array[Byte] = {
+    require(orientation >= 1 && orientation <= 8, s"orientation $orientation")
+    val out = new ByteArrayOutputStream(36)
+    out.write(0xff); out.write(0xe1)
+    out.write(0); out.write(34) // length: itself + 32 payload bytes
+    out.write("Exif".getBytes(US_ASCII), 0, 4); out.write(0); out.write(0)
+    def w16(v: Int): Unit =
+      if (bigEndian) { out.write((v >>> 8) & 0xff); out.write(v & 0xff) }
+      else { out.write(v & 0xff); out.write((v >>> 8) & 0xff) }
+    def w32(v: Long): Unit =
+      if (bigEndian) { w16(((v >>> 16) & 0xffff).toInt); w16((v & 0xffff).toInt) }
+      else { w16((v & 0xffff).toInt); w16(((v >>> 16) & 0xffff).toInt) }
+    if (bigEndian) { out.write('M'); out.write('M') }
+    else { out.write('I'); out.write('I') }
+    w16(42); w32(8L) // IFD0 directly after the 8-byte TIFF header
+    w16(1) // one entry
+    w16(0x0112); w16(3); w32(1L) // orientation, SHORT, count 1
+    w16(orientation); w16(0) // value + pad in the 4-byte field
+    w32(0L) // no next IFD
+    out.toByteArray
+  }
+
+  /** Insert an APP1 (or any) segment right after a JPEG's SOI marker —
+    * where real encoders put EXIF. */
+  def withSegmentAfterSoi(jpeg: Array[Byte], segment: Array[Byte]): Array[Byte] = {
+    require(jpeg.length >= 2 && (jpeg(0) & 0xff) == 0xff && (jpeg(1) & 0xff) == 0xd8)
+    val out = new Array[Byte](jpeg.length + segment.length)
+    out(0) = jpeg(0); out(1) = jpeg(1)
+    System.arraycopy(segment, 0, out, 2, segment.length)
+    System.arraycopy(jpeg, 2, out, 2 + segment.length, jpeg.length - 2)
+    out
   }
 
   private def parsePdf(b: Array[Byte]): Option[MediaInfo] = {

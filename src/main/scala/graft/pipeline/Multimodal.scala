@@ -302,6 +302,31 @@ object Multimodal {
     }.toDF()
   }
 
+  final case class ExifMetaRow(
+      doc_id: Long, media_ref: String, width: Int, height: Int,
+      orientation: Int)
+
+  /** EXIF orientation (scan-local): the APP1/TIFF IFD0 walk real crawl
+    * JPEGs need before any pixel use — orientation 1-8 decides the
+    * rotate/mirror a downstream resize must apply. Dims come from the
+    * same segment walk (the SOF header, EXIF present or not), proving
+    * the APP1 insert leaves the image parse intact. JPEGs without a
+    * valid EXIF orientation report 0 (the "unknown, treat as 1" crawl
+    * convention); non-JPEG rows are dropped — the router already sent
+    * them elsewhere. */
+  def exifMeta(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { it =>
+      it.flatMap { r =>
+        MediaCodec.parse(r.content).filter(_.format == "jpeg").map { info =>
+          ExifMetaRow(r.doc_id, r.media_ref, info.width, info.height,
+            MediaCodec.parseExifOrientation(r.content).getOrElse(0))
+        }
+      }
+    }.toDF()
+  }
+
   final case class RoutedMeta(
       doc_id: Long, media_ref: String, branch: String,
       n_pages: Int, width: Int, height: Int)

@@ -1070,6 +1070,101 @@ class MediaSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(Multimodal.feature(junk), Multimodal.feature(junk)))
   }
 
+  test("WebP: all three container variants parse; hostile chunks rejected") {
+    for {
+      kind <- 0 to 2
+      (w, h) <- Seq((1, 1), (16, 48), (79, 63), (16383, 16383))
+      n <- Seq(0, 1, 2, 255)
+    } {
+      val payload = Array.tabulate(n)(i => ((i * 31 + kind) & 0xff).toByte)
+      val b = MediaCodec.buildWebp(kind, w, h, payload)
+      assert(b.length == MediaCodec.webpBytes(kind, n),
+        s"kind=$kind n=$n: ${b.length} != ${MediaCodec.webpBytes(kind, n)}")
+      assert(MediaCodec.parse(b).contains(MediaInfo("webp", w, h, 0)),
+        s"kind=$kind ${w}x$h n=$n")
+    }
+    // unknown leading chunk is skipped by size to reach the image chunk
+    val inner = MediaCodec.buildWebp(0, 20, 10, Array[Byte](1, 2, 3))
+    val tail = java.util.Arrays.copyOfRange(inner, 12, inner.length)
+    val withMeta = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write("RIFF".getBytes(US_ASCII)); out.write(Array[Byte](0, 0, 0, 0))
+      out.write("WEBP".getBytes(US_ASCII))
+      out.write("EXIF".getBytes(US_ASCII))
+      out.write(Array[Byte](3, 0, 0, 0)); out.write(Array[Byte](9, 9, 9, 0)) // padded
+      out.write(tail)
+      out.toByteArray
+    }
+    assert(MediaCodec.parse(withMeta).contains(MediaInfo("webp", 20, 10, 0)))
+    // a VP8 chunk without the keyframe start code is rejected
+    val bad = inner.clone()
+    bad(23) = 0 // clobber 0x9d at VP8 body+3 (12 RIFF + 8 hdr + 3 tag)
+    assert(MediaCodec.parse(bad).isEmpty)
+    // a chunk size past the buffer is rejected (forged size)
+    val forged = inner.clone()
+    forged(16) = 0x7f // VP8 chunk size low byte -> way past EOF
+    assert(MediaCodec.parse(forged).isEmpty)
+    // truncation below the dims is rejected
+    assert(MediaCodec.parse(java.util.Arrays.copyOf(inner, 25)).isEmpty)
+  }
+
+  test("MP3: frame header tables, ID3v2 skip, CBR duration; hostile rejected") {
+    val payload = Array.tabulate(1000)(i => (i % 251).toByte)
+    // MPEG1 128kbps 44100 stereo: 1004 bytes * 8 / 128 = 62 ms
+    val a = MediaCodec.buildMp3(mpeg1 = true, 9, 0, mono = false, payload)
+    assert(MediaCodec.parse(a).contains(MediaInfo("mp3", 0, 0, 0, 44100, 2, 62)))
+    // MPEG2 64kbps 22050 mono (version-2 tables differ on BOTH axes)
+    val b = MediaCodec.buildMp3(mpeg1 = false, 8, 0, mono = true, payload)
+    assert(MediaCodec.parse(b).contains(MediaInfo("mp3", 0, 0, 0, 22050, 1, 125)))
+    // ID3v2 tag: parser must skip exactly the synchsafe size (use one
+    // big enough that its 14-bit synchsafe split spans two bytes)
+    val c = MediaCodec.buildMp3(mpeg1 = true, 14, 2, mono = true, payload,
+      id3Len = 300)
+    assert(MediaCodec.parse(c).contains(MediaInfo("mp3", 0, 0, 0, 32000, 1, 25)))
+    assert(c.length == 10 + 300 + 4 + 1000)
+    // free-format (0) and invalid (15) bitrate indices are rejected, as
+    // are reserved version/layer bits and samplerate index 3
+    def hdr(b1: Int, b2: Int, b3: Int): Array[Byte] =
+      Array(0xff.toByte, b1.toByte, b2.toByte, b3.toByte)
+    assert(MediaCodec.parse(hdr(0xfb, 0x02, 0)).isEmpty) // bitrate 0
+    assert(MediaCodec.parse(hdr(0xfb, 0xf2, 0)).isEmpty) // bitrate 15
+    assert(MediaCodec.parse(hdr(0xfb, 0x9e, 0)).isEmpty) // samplerate 3
+    assert(MediaCodec.parse(hdr(0xeb, 0x92, 0)).isEmpty) // version reserved
+    assert(MediaCodec.parse(hdr(0xfd, 0x92, 0)).isEmpty) // layer reserved
+    // an ID3 tag whose size overruns the file is rejected
+    val d = c.clone(); d(8) = 0x7f
+    assert(MediaCodec.parse(d).isEmpty)
+    // JPEG's FF D8 must NOT route to the mp3 sniffer
+    assert(MediaCodec.parse(MediaCodec.buildJpeg(8, 8, Array[Byte](1)))
+      .exists(_.format == "jpeg"))
+  }
+
+  test("EXIF: orientation via TIFF IFD0 in both byte orders; hostile rejected") {
+    val base = MediaCodec.buildJpeg(40, 30, Array.tabulate(100)(_.toByte))
+    for (o <- 1 to 8; be <- Seq(true, false)) {
+      val j = MediaCodec.withSegmentAfterSoi(base, MediaCodec.exifApp1(o, be))
+      assert(MediaCodec.parseExifOrientation(j).contains(o), s"o=$o be=$be")
+      // the APP1 insert must not break the dims parse
+      assert(MediaCodec.parse(j).contains(MediaInfo("jpeg", 40, 30, 0)), s"o=$o")
+    }
+    // no EXIF -> None; bare JPEG still parses
+    assert(MediaCodec.parseExifOrientation(base).isEmpty)
+    // out-of-range orientation value is rejected
+    val seg = MediaCodec.exifApp1(1, bigEndian = false)
+    seg(28) = 9 // value low byte (II layout): 9 is undefined
+    assert(MediaCodec.parseExifOrientation(
+      MediaCodec.withSegmentAfterSoi(base, seg)).isEmpty)
+    // a forged IFD offset pointing past the segment is rejected
+    val seg2 = MediaCodec.exifApp1(3, bigEndian = false)
+    seg2(14) = 0x7f // IFD0 offset low byte (II) -> far past tiffEnd
+    assert(MediaCodec.parseExifOrientation(
+      MediaCodec.withSegmentAfterSoi(base, seg2)).isEmpty)
+    // an APP1 that is not Exif (e.g. XMP) is skipped, not misread
+    val xmp = seg.clone(); xmp(4) = 'X'; xmp(5) = 'M'; xmp(6) = 'P'
+    assert(MediaCodec.parseExifOrientation(
+      MediaCodec.withSegmentAfterSoi(base, xmp)).isEmpty)
+  }
+
   // ---- builder -> parser round-trips across payload boundaries ----
 
   test("synth -> parse round-trips dims through the real byte layout") {
