@@ -17,12 +17,16 @@ import java.nio.charset.StandardCharsets.UTF_8
   * spectral selection + successive approximation), and PDF text
   * (/Length-bounded stream walk + the full ISO 32000-1 §7.4 filter
   * cascade — Flate, LZW, RunLength, ASCIIHex, ASCII85, chained — +
-  * show-op tokenizer) — all pure JVM, cross-validated against the
-  * JDK's independent javax.imageio codecs in MediaSpec.
-  * What remains a labeled STUB: arithmetic-coded / 12-bit / lossless
-  * JPEG, PDF raster layout, predictor DecodeParms, and image codecs
-  * inside PDF streams (DCTDecode, JPXDecode) — those drop in at
-  * `decodeAll` / `routeAndParse` with the same schema and batching.
+  * show-op tokenizer, /DecodeParms PNG-row-filter and TIFF predictors
+  * reversed) — all pure JVM, cross-validated against the JDK's
+  * independent javax.imageio codecs in MediaSpec. PDF-embedded
+  * /DCTDecode images decode through the in-house JPEG path
+  * (extractPdfImages / pdfImageStats). What remains a labeled STUB:
+  * arithmetic-coded / 12-bit / lossless JPEG, the non-JPEG image
+  * codecs inside PDF streams (JPXDecode, CCITTFax, JBIG2), WebP/MP3
+  * pixel/sample decode (header metadata only), and PDF raster *layout*
+  * (page rendering) — those drop in at `decodeAll` / `routeAndParse`
+  * with the same schema and batching.
   */
 object Multimodal {
 
@@ -44,10 +48,11 @@ object Multimodal {
     * both /255, dim 6 log2(pixel count)/32, dim 7 aspect ratio w/(w+h).
     * Progressive (SOF2) JPEGs decode through the same path. PDFs get a
     * REAL text-derived feature (pdfFeature over the extracted
-    * content-stream text, any §7.4 filter cascade). Only genuinely
-    * undecodable content (unknown formats, arithmetic/12-bit/lossless
-    * JPEG, PDF streams using predictor DecodeParms or embedded image
-    * codecs) falls back to the labeled hash stub below. */
+    * content-stream text, any §7.4 filter cascade, predictor
+    * DecodeParms reversed). Only genuinely undecodable content
+    * (unknown formats, arithmetic/12-bit/lossless JPEG, PDFs whose
+    * every stream uses a non-JPEG image codec) falls back to the
+    * labeled hash stub below. */
   private[graft] def feature(content: Array[Byte]): Array[Float] =
     MediaCodec.decodeImagePixels(content) match {
       case Some(px) =>
@@ -214,10 +219,13 @@ object Multimodal {
     * plus from-scratch LZWDecode / RunLengthDecode / ASCIIHexDecode /
     * ASCII85Decode, applied in /Filter array order), and tokenizes the
     * show-text operators (Tj / ' / " / TJ with escape and nested-paren
-    * handling) in stream order (MediaCodec.extractPdfText). Scan-local
-    * like pixelStats; streams using image codecs (DCTDecode, JPXDecode)
-    * or predictor DecodeParms skip the stream, and PDFs that carry no
-    * text yield no row. */
+    * handling) in stream order (MediaCodec.extractPdfText), reversing
+    * /DecodeParms predictors (PNG row filters 10-15, TIFF horizontal
+    * differencing) where a stream carries them. Scan-local like
+    * pixelStats; image-codec streams (DCTDecode, JPXDecode) carry no
+    * text and are excluded from tokenization (the raster branch
+    * handles them — pdfImageStats), and PDFs that carry no text yield
+    * no row. */
   def pdfText(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
