@@ -3,7 +3,7 @@ package graft
 import graft.core.{Doc, DocOut, Span, SpanKinds}
 import graft.corpus.Corpus
 import graft.engine.{EngineConfig, RuleCompiler, RuleProgram, ShadowEngine}
-import graft.pipeline.{Ann, Dedup, Multimodal, TextStats}
+import graft.pipeline.{Ann, Dedup, Multimodal, TextStats, WarcCodec, WebArchive}
 import graft.rules.RuleParser
 import graft.spark.ShadowSpark
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -1047,6 +1047,66 @@ object SparkEntry {
       Multimodal.exifMeta(media).orderBy("doc_id")
     }),
 
+    // wa1: WARC ingestion — the crawl pipeline's front door: each doc
+    // becomes a Common Crawl style .warc.gz (a warcinfo record + a
+    // response record whose HTTP body is the doc text), one gzip member
+    // per record with real CRC32/ISIZE trailers. The Spark side must
+    // walk the members, verify integrity, parse WARC + HTTP and decode
+    // the body; the oracle replays every field — including the exact
+    // HTTP block length — by string arithmetic, never gunzipping.
+    "wa1_warc_records" -> ((s, dir) => {
+      val warcs = Multimodal.synthTable(documents(s, dir)) { (id, payload) =>
+        val status = (id % 3).toInt match { case 0 => 200; case 1 => 301; case _ => 404 }
+        val http = WarcCodec.buildHttpResponse(status,
+          Seq("Content-Type" -> "text/html; charset=utf-8",
+            "Content-Length" -> payload.length.toString),
+          payload)
+        val file = WarcCodec.buildWarcGz(Seq(
+          WarcCodec.buildWarcRecord("warcinfo", Seq(),
+            "software: graft\r\n".getBytes(java.nio.charset.StandardCharsets.UTF_8)),
+          WarcCodec.buildWarcRecord("response",
+            Seq("WARC-Target-URI" -> s"http://example.com/$id"), http)))
+        (s"warc://$id.warc.gz", file)
+      }
+      WebArchive.records(warcs)
+        .select("doc_id", "rec_idx", "warc_type", "target_uri", "http_status",
+          "mime", "charset", "charset_src", "content_length", "body_text")
+        .orderBy("doc_id", "rec_idx")
+    }),
+
+    // wa2: charset sniffing — the decode step real crawl HTML needs
+    // before any text op (a third of the web is not clean UTF-8):
+    // five per-doc variants exercise the full precedence chain — header
+    // charset (utf-8 and windows-1252 with C1-range bytes), meta-tag
+    // prescan (iso-8859-1 label resolving to the cp1252 decoder), a
+    // UTF-8 BOM overriding everything, and the default. Bodies are
+    // formula-only so the oracle replays the decoded text exactly.
+    "wa2_http_charset" -> ((s, dir) => {
+      import java.nio.charset.StandardCharsets
+      val warcs = Multimodal.synthTable(documents(s, dir)) { (id, _) =>
+        val (ctype, body) = (id % 5).toInt match {
+          case 0 => ("text/html; charset=utf-8",
+            s"résumé π doc $id".getBytes(StandardCharsets.UTF_8))
+          case 1 => ("text/html; charset=windows-1252",
+            s"€ “déjà vu” — doc $id".getBytes(
+              java.nio.charset.Charset.forName("windows-1252")))
+          case 2 => ("text/html",
+            s"<meta charset=iso-8859-1>ça va doc $id".getBytes(StandardCharsets.ISO_8859_1))
+          case 3 => ("text/html",
+            Array[Byte](0xef.toByte, 0xbb.toByte, 0xbf.toByte) ++
+              s"BOM doc $id".getBytes(StandardCharsets.UTF_8))
+          case _ => ("text/html", s"plain doc $id".getBytes(StandardCharsets.UTF_8))
+        }
+        val http = WarcCodec.buildHttpResponse(200, Seq("Content-Type" -> ctype), body)
+        val file = WarcCodec.buildWarcGz(Seq(WarcCodec.buildWarcRecord("response",
+          Seq("WARC-Target-URI" -> s"http://example.com/$id"), http)))
+        (s"warc://$id.warc.gz", file)
+      }
+      WebArchive.records(warcs)
+        .select("doc_id", "charset", "charset_src", "mime", "body_text")
+        .orderBy("doc_id")
+    }),
+
     // ---- boilerplate main-content extraction (north-star branch) ----
     "bp1_main_content" -> ((s, dir) => {
       import s.implicits._
@@ -1764,6 +1824,45 @@ object SparkEntry {
         "CAST(16 + n % 64 AS INT) AS width, CAST(16 + n % 48 AS INT) AS height, " +
         "CAST(CASE WHEN doc_id % 5 = 4 THEN 0 ELSE 1 + doc_id % 8 END AS INT) " +
         "AS orientation FROM m ORDER BY 1"),
+    // WARC replay: both records per doc by formula. The response row's
+    // content_length is the EXACT HTTP block size — the oracle builds the
+    // status line + headers as strings and measures them, never touching
+    // gzip; the Spark side must walk real gzip members (CRC-verified) to
+    // reach the same numbers. body_text replays as the raw doc text.
+    "wa1_warc_records" ->
+      ("WITH d AS (SELECT doc_id, text, CAST(doc_id % 3 AS INT) AS k, " +
+        "CAST(octet_length(encode(text)) AS BIGINT) AS n FROM documents) " +
+        "SELECT doc_id, CAST(0 AS INT) AS rec_idx, 'warcinfo' AS warc_type, " +
+        "'' AS target_uri, CAST(0 AS INT) AS http_status, '' AS mime, " +
+        "'' AS charset, '' AS charset_src, CAST(17 AS BIGINT) AS content_length, " +
+        "'software: graft' || chr(13) || chr(10) AS body_text FROM d " +
+        "UNION ALL " +
+        "SELECT doc_id, CAST(1 AS INT), 'response', " +
+        "'http://example.com/' || CAST(doc_id AS VARCHAR), " +
+        "CAST(CASE k WHEN 0 THEN 200 WHEN 1 THEN 301 ELSE 404 END AS INT), " +
+        "'text/html', 'utf-8', 'header', " +
+        "CAST(octet_length(encode('HTTP/1.1 ' || " +
+        "CAST(CASE k WHEN 0 THEN 200 WHEN 1 THEN 301 ELSE 404 END AS VARCHAR) || ' ' || " +
+        "CASE k WHEN 0 THEN 'OK' WHEN 1 THEN 'Moved Permanently' ELSE 'Not Found' END || " +
+        "chr(13) || chr(10) || 'Content-Type: text/html; charset=utf-8' || chr(13) || chr(10) || " +
+        "'Content-Length: ' || CAST(n AS VARCHAR) || chr(13) || chr(10) || chr(13) || chr(10))) " +
+        "+ n AS BIGINT), text FROM d ORDER BY 1, 2"),
+    // charset replay: label/source/decoded text straight from the five
+    // synthesis variants; the windows-1252 and latin-1 rows carry bytes
+    // only the real C1-range table decodes to these literals
+    "wa2_http_charset" ->
+      ("WITH d AS (SELECT doc_id, CAST(doc_id % 5 AS INT) AS k FROM documents) " +
+        "SELECT doc_id, " +
+        "CASE k WHEN 1 THEN 'windows-1252' WHEN 2 THEN 'iso-8859-1' ELSE 'utf-8' END AS charset, " +
+        "CASE k WHEN 0 THEN 'header' WHEN 1 THEN 'header' WHEN 2 THEN 'meta' " +
+        "WHEN 3 THEN 'bom' ELSE 'default' END AS charset_src, " +
+        "'text/html' AS mime, " +
+        "CASE k WHEN 0 THEN 'résumé π doc ' || CAST(doc_id AS VARCHAR) " +
+        "WHEN 1 THEN '€ “déjà vu” — doc ' || CAST(doc_id AS VARCHAR) " +
+        "WHEN 2 THEN '<meta charset=iso-8859-1>ça va doc ' || CAST(doc_id AS VARCHAR) " +
+        "WHEN 3 THEN 'BOM doc ' || CAST(doc_id AS VARCHAR) " +
+        "ELSE 'plain doc ' || CAST(doc_id AS VARCHAR) END AS body_text " +
+        "FROM d ORDER BY 1"),
     // real-container replay: format/dims from the synthesis formulas, and
     // n_bytes = payload + the EXACT container overhead (PNG sig+IHDR+IDAT+
     // IEND framing; GIF header/LSD + comment sub-block length bytes; JPEG
