@@ -4,6 +4,7 @@ import graft.core.{Doc, DocOut, Span, SpanKinds}
 import graft.corpus.Corpus
 import graft.engine.{EngineConfig, RuleCompiler, RuleProgram, ShadowEngine}
 import graft.pipeline.{Ann, Dedup, Multimodal, TextStats, WarcCodec, WebArchive}
+import graft.functions.WebFunctions
 import graft.rules.RuleParser
 import graft.spark.ShadowSpark
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -1107,6 +1108,79 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // url1: URL canonicalization — the key every crawl-curation
+    // group-by (domain caps, frontier dedup, per-site mixtures) hangs
+    // off. Messy URLs synthesized per doc (scheme case, trailing host
+    // dot, default vs explicit ports, dot segments, mixed-case percent
+    // escapes, empty queries, fragments) canonicalize through the
+    // native codegen expression; the oracle replays the canonical
+    // string and the eTLD+1 by CASE arithmetic.
+    "url1_canonicalize" -> ((s, dir) => {
+      import s.implicits._
+      val urls = documents(s, dir).select(col("doc_id")).as[Long].map { id =>
+        val a = (id % 7).toInt
+        val scheme = if (id % 2 == 0) "HTTP" else "https"
+        val host = (id % 3).toInt match {
+          case 0 => s"WWW.Blog$a.Example.COM" + (if (id % 6 == 0) "." else "")
+          case 1 => s"CDN.Assets$a.Shop.CO.UK"
+          case _ => s"User$a.GitHub.IO"
+        }
+        val port = (id % 4).toInt match {
+          case 0 => if (id % 2 == 0) ":80" else ":443" // explicit default -> stripped
+          case 1 => ":8080"
+          case _ => ""
+        }
+        val query = (id % 5).toInt match {
+          case 1 => "?b=2&a=%31"
+          case 2 => "?x=%2f"
+          case 3 => "?"
+          case 4 => s"?id=$id"
+          case _ => ""
+        }
+        val url = s"$scheme://$host$port/p$a/x/../%41sset%2f/q$a.html$query#sec"
+        (id, url)
+      }.toDF("doc_id", "url")
+      urls.select(col("doc_id"),
+        WebFunctions.canonical_url(col("url")).as("canonical_url"),
+        WebFunctions.registered_domain(col("url")).as("registered_domain"))
+        .orderBy("doc_id")
+    }),
+
+    // rb1: robots.txt evaluation (RFC 9309) — the fetch-side gate of a
+    // crawl: per-doc robots files exercise longest-match precedence,
+    // allow-over-disallow ties, * wildcards with the $ end anchor, and
+    // named-agent vs * group selection. The decision AND the matched
+    // rule pattern are both oracled.
+    "rb1_robots" -> ((s, dir) => {
+      import s.implicits._
+      val rows = documents(s, dir).select(col("doc_id")).as[Long].map { id =>
+        val a = (id % 4).toInt
+        val robots =
+          s"""# synthetic robots
+             |User-agent: graftbot
+             |Disallow: /private$a/
+             |Allow: /private$a/public/
+             |Disallow: /*.pdf$$
+             |
+             |User-agent: *
+             |Disallow: /
+             |""".stripMargin
+        val agent = if (id % 2 == 0) "graftbot" else "otherbot"
+        val path = (id % 5).toInt match {
+          case 0 => s"/private$a/secret.html"
+          case 1 => s"/private$a/public/x.html"
+          case 2 => s"/docs/file$a.pdf"
+          case 3 => s"/docs/file$a.pdfx"
+          case _ => s"/open/page$a.html"
+        }
+        (id, robots, agent, path)
+      }.toDF("doc_id", "robots", "agent", "path")
+      rows.select(col("doc_id"), col("agent"), col("path"),
+        WebFunctions.robots_allowed(col("robots"), col("agent"), col("path")).as("allowed"),
+        WebFunctions.robots_rule(col("robots"), col("agent"), col("path")).as("matched_rule"))
+        .orderBy("doc_id")
+    }),
+
     // ---- boilerplate main-content extraction (north-star branch) ----
     "bp1_main_content" -> ((s, dir) => {
       import s.implicits._
@@ -1824,6 +1898,44 @@ object SparkEntry {
         "CAST(16 + n % 64 AS INT) AS width, CAST(16 + n % 48 AS INT) AS height, " +
         "CAST(CASE WHEN doc_id % 5 = 4 THEN 0 ELSE 1 + doc_id % 8 END AS INT) " +
         "AS orientation FROM m ORDER BY 1"),
+    // canonicalization replay: expected canonical string + eTLD+1 by
+    // CASE arithmetic over the same doc_id selectors the synth used
+    "url1_canonicalize" ->
+      ("WITH d AS (SELECT doc_id, CAST(doc_id % 7 AS INT) AS a, " +
+        "CAST(doc_id % 3 AS INT) AS h, CAST(doc_id % 4 AS INT) AS p, " +
+        "CAST(doc_id % 5 AS INT) AS q FROM documents) " +
+        "SELECT doc_id, " +
+        "(CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END) || '://' || " +
+        "(CASE h WHEN 0 THEN 'www.blog' || CAST(a AS VARCHAR) || '.example.com' " +
+        "WHEN 1 THEN 'cdn.assets' || CAST(a AS VARCHAR) || '.shop.co.uk' " +
+        "ELSE 'user' || CAST(a AS VARCHAR) || '.github.io' END) || " +
+        "(CASE WHEN p = 1 THEN ':8080' ELSE '' END) || " +
+        "'/p' || CAST(a AS VARCHAR) || '/Asset%2F/q' || CAST(a AS VARCHAR) || '.html' || " +
+        "(CASE q WHEN 1 THEN '?b=2&a=1' WHEN 2 THEN '?x=%2F' " +
+        "WHEN 4 THEN '?id=' || CAST(doc_id AS VARCHAR) ELSE '' END) AS canonical_url, " +
+        "CASE h WHEN 0 THEN 'example.com' WHEN 1 THEN 'shop.co.uk' " +
+        "ELSE 'user' || CAST(a AS VARCHAR) || '.github.io' END AS registered_domain " +
+        "FROM d ORDER BY 1"),
+    // robots replay: the named-agent rows follow the longest-match /
+    // allow-tie / $-anchor decision table; every otherbot row falls to
+    // the * group's Disallow: /
+    "rb1_robots" ->
+      ("WITH d AS (SELECT doc_id, CAST(doc_id % 4 AS INT) AS a, " +
+        "CAST(doc_id % 5 AS INT) AS k, doc_id % 2 = 0 AS g FROM documents) " +
+        "SELECT doc_id, " +
+        "CASE WHEN g THEN 'graftbot' ELSE 'otherbot' END AS agent, " +
+        "CASE k WHEN 0 THEN '/private' || CAST(a AS VARCHAR) || '/secret.html' " +
+        "WHEN 1 THEN '/private' || CAST(a AS VARCHAR) || '/public/x.html' " +
+        "WHEN 2 THEN '/docs/file' || CAST(a AS VARCHAR) || '.pdf' " +
+        "WHEN 3 THEN '/docs/file' || CAST(a AS VARCHAR) || '.pdfx' " +
+        "ELSE '/open/page' || CAST(a AS VARCHAR) || '.html' END AS path, " +
+        "CASE WHEN NOT g THEN FALSE WHEN k = 0 OR k = 2 THEN FALSE " +
+        "ELSE TRUE END AS allowed, " +
+        "CASE WHEN NOT g THEN '/' " +
+        "WHEN k = 0 THEN '/private' || CAST(a AS VARCHAR) || '/' " +
+        "WHEN k = 1 THEN '/private' || CAST(a AS VARCHAR) || '/public/' " +
+        "WHEN k = 2 THEN '/*.pdf$' ELSE '' END AS matched_rule " +
+        "FROM d ORDER BY 1"),
     // WARC replay: both records per doc by formula. The response row's
     // content_length is the EXACT HTTP block size — the oracle builds the
     // status line + headers as strings and measures them, never touching

@@ -1,0 +1,115 @@
+package graft
+
+import graft.functions.{Robots, Urls}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** URL canonicalization (RFC 3986 normalization) and robots.txt
+  * (RFC 9309) — cases lifted from the RFCs' own examples plus the
+  * hostile shapes a crawl actually serves. */
+class WebSpec extends AnyFunSuite {
+
+  // ---- URL canonicalization ----
+
+  test("url: scheme/host lowercase, default port + fragment stripped, empty path -> /") {
+    assert(Urls.canonicalize("HTTP://WWW.Example.COM:80#top") == "http://www.example.com/")
+    assert(Urls.canonicalize("https://Example.com:443/a") == "https://example.com/a")
+    assert(Urls.canonicalize("https://example.com:8443/a") == "https://example.com:8443/a")
+    assert(Urls.canonicalize("http://example.com.") == "http://example.com/")
+  }
+
+  test("url: RFC 3986 dot-segment removal") {
+    assert(Urls.canonicalize("http://e.com/a/./b/../c") == "http://e.com/a/c")
+    assert(Urls.canonicalize("http://e.com/a/b/c/./../../g") == "http://e.com/a/g")
+    assert(Urls.canonicalize("http://e.com/../../x") == "http://e.com/x")
+    assert(Urls.canonicalize("http://e.com/a/..") == "http://e.com/")
+    assert(Urls.canonicalize("http://e.com/a/.") == "http://e.com/a/")
+  }
+
+  test("url: percent normalization — unreserved decoded, rest uppercased, junk preserved") {
+    assert(Urls.canonicalize("http://e.com/%41sset%2f?q=%31%2f") == "http://e.com/Asset%2F?q=1%2F")
+    assert(Urls.canonicalize("http://e.com/%7Euser") == "http://e.com/~user")
+    assert(Urls.canonicalize("http://e.com/a%zz") == "http://e.com/a%zz") // malformed escape
+  }
+
+  test("url: userinfo stripped, empty query dropped, query preserved in order") {
+    assert(Urls.canonicalize("http://u:pw@e.com/p?") == "http://e.com/p")
+    assert(Urls.canonicalize("http://e.com/p?b=2&a=1") == "http://e.com/p?b=2&a=1")
+    assert(Urls.canonicalize("http://e.com/p#f?notquery") == "http://e.com/p")
+  }
+
+  test("url: unparseable returns the empty sentinel") {
+    assert(Urls.canonicalize("not a url") == "")
+    assert(Urls.canonicalize("://nohost") == "")
+    assert(Urls.canonicalize("http://") == "")
+    assert(Urls.canonicalize("1http://e.com/") == "")
+    assert(Urls.canonicalize("http://e.com:bad/") == "")
+  }
+
+  test("url: registered domain under the static suffix subset") {
+    assert(Urls.registeredDomain("www.blog.example.com") == "example.com")
+    assert(Urls.registeredDomain("cdn.assets.shop.CO.UK") == "shop.co.uk")
+    assert(Urls.registeredDomain("user3.github.io") == "user3.github.io")
+    assert(Urls.registeredDomain("deep.user3.github.io") == "user3.github.io")
+    assert(Urls.registeredDomain("example.com") == "example.com")
+    assert(Urls.registeredDomain("com") == "com")
+    assert(Urls.registeredDomain("localhost") == "localhost")
+    assert(Urls.urlRegisteredDomain("https://a.b.example.com:8443/x") == "example.com")
+    assert(Urls.urlRegisteredDomain("garbage") == "")
+  }
+
+  // ---- robots.txt ----
+
+  private val robots =
+    """# graft test robots
+      |User-agent: graftbot
+      |Disallow: /private/
+      |Allow: /private/public/
+      |Disallow: /*.pdf$
+      |
+      |User-agent: otherbot
+      |User-agent: thirdbot
+      |Disallow:
+      |
+      |User-agent: *
+      |Disallow: /
+      |""".stripMargin
+
+  test("robots: longest match wins; allow beats disallow on a tie") {
+    assert(!Robots.decide(robots, "graftbot", "/private/secret.html")._1)
+    assert(Robots.decide(robots, "graftbot", "/private/public/x.html")._1)
+    assert(Robots.decide(robots, "graftbot", "/open/x.html")._1)
+    // tie: same length allow + disallow
+    val tie = "User-agent: *\nDisallow: /dir/\nAllow: /dir*\n"
+    assert(Robots.decide(tie, "any", "/dir/")._1) // allow /dir* (5) vs disallow /dir/ (5)
+  }
+
+  test("robots: wildcard and end anchor") {
+    assert(!Robots.decide(robots, "graftbot", "/docs/file.pdf")._1)
+    assert(Robots.decide(robots, "graftbot", "/docs/file.pdfx")._1) // $ anchor
+    assert(Robots.decide(robots, "graftbot", "/x.pdf.html")._1)
+    val multi = "User-agent: *\nDisallow: /a*b*c\n"
+    assert(!Robots.decide(multi, "any", "/a-x-b-y-c-z")._1)
+    assert(Robots.decide(multi, "any", "/a-x-c-y-b")._1) // parts out of order
+  }
+
+  test("robots: group selection — named token beats *, stacked agents share rules") {
+    assert(Robots.decide(robots, "otherbot", "/anything")._1)  // empty Disallow = allow all
+    assert(Robots.decide(robots, "THIRDBOT", "/anything")._1)  // case-insensitive, stacked
+    assert(!Robots.decide(robots, "strangerbot", "/anything")._1) // falls to *: Disallow /
+    assert(Robots.decide(robots, "strangerbot", "/a")._2 == "/")
+  }
+
+  test("robots: rules before any user-agent are ignored; CRLF accepted; no groups = allowed") {
+    val stray = "Disallow: /\r\nUser-agent: *\r\nAllow: /ok\r\nDisallow: /ok/no\r\n"
+    assert(Robots.decide(stray, "any", "/secret")._1) // stray Disallow ignored
+    assert(!Robots.decide(stray, "any", "/ok/no")._1)
+    assert(Robots.decide("", "any", "/x") == (true, ""))
+    assert(Robots.decide("# only comments\n", "any", "/x") == (true, ""))
+  }
+
+  test("robots: matched rule reporting") {
+    assert(Robots.decide(robots, "graftbot", "/private/secret")._2 == "/private/")
+    assert(Robots.decide(robots, "graftbot", "/private/public/a")._2 == "/private/public/")
+    assert(Robots.decide(robots, "graftbot", "/open/a")._2 == "")
+  }
+}
