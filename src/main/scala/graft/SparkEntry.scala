@@ -1108,6 +1108,50 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // wa3: HTTP transfer/content decoding — what captured responses
+    // actually look like on the wire: chunked framing, gzip and
+    // zlib-deflate content codings, and both stacked (chunked outside,
+    // gzip inside). The Spark side must de-chunk and decompress (CRC
+    // verified) before the charset decode; the oracle replays the
+    // plaintext by formula, never touching either coding. The meta
+    // charset variant proves the sniff runs on DECODED bytes.
+    "wa3_http_content_encoding" -> ((s, dir) => {
+      import java.nio.charset.StandardCharsets
+      val warcs = Multimodal.synthTable(documents(s, dir)) { (id, _) =>
+        val k = (id % 5).toInt
+        val text = k match {
+          case 0 => s"plain doc $id"
+          case 1 => s"chunked doc $id"
+          case 2 => s"gzipped doc $id"
+          case 3 => s"deflated doc $id"
+          case _ => s"<meta charset=iso-8859-1>chunked+gzip doc $id"
+        }
+        val plain = text.getBytes(StandardCharsets.UTF_8)
+        val (headers, body) = k match {
+          case 0 => (Seq("Content-Type" -> "text/html; charset=utf-8"), plain)
+          case 1 => (Seq("Content-Type" -> "text/html; charset=utf-8",
+            "Transfer-Encoding" -> "chunked"),
+            WarcCodec.buildChunked(plain, 5))
+          case 2 => (Seq("Content-Type" -> "text/html; charset=utf-8",
+            "Content-Encoding" -> "gzip"),
+            WarcCodec.gzipMember(plain))
+          case 3 => (Seq("Content-Type" -> "text/html; charset=utf-8",
+            "Content-Encoding" -> "deflate"),
+            WarcCodec.zlibDeflate(plain))
+          case _ => (Seq("Content-Type" -> "text/html",
+            "Transfer-Encoding" -> "chunked", "Content-Encoding" -> "gzip"),
+            WarcCodec.buildChunked(WarcCodec.gzipMember(plain), 7))
+        }
+        val http = WarcCodec.buildHttpResponse(200, headers, body)
+        val file = WarcCodec.buildWarcGz(Seq(WarcCodec.buildWarcRecord("response",
+          Seq("WARC-Target-URI" -> s"http://example.com/$id"), http)))
+        (s"warc://$id.warc.gz", file)
+      }
+      WebArchive.records(warcs)
+        .select("doc_id", "charset", "charset_src", "body_text")
+        .orderBy("doc_id")
+    }),
+
     // url1: URL canonicalization — the key every crawl-curation
     // group-by (domain caps, frontier dedup, per-site mixtures) hangs
     // off. Messy URLs synthesized per doc (scheme case, trailing host
@@ -1898,6 +1942,20 @@ object SparkEntry {
         "CAST(16 + n % 64 AS INT) AS width, CAST(16 + n % 48 AS INT) AS height, " +
         "CAST(CASE WHEN doc_id % 5 = 4 THEN 0 ELSE 1 + doc_id % 8 END AS INT) " +
         "AS orientation FROM m ORDER BY 1"),
+    // transfer/content-coding replay: decoded plaintext per variant;
+    // the chunked+gzip row's meta charset only sniffs if the Spark side
+    // really de-chunked AND gunzipped first
+    "wa3_http_content_encoding" ->
+      ("WITH d AS (SELECT doc_id, CAST(doc_id % 5 AS INT) AS k FROM documents) " +
+        "SELECT doc_id, " +
+        "CASE WHEN k = 4 THEN 'iso-8859-1' ELSE 'utf-8' END AS charset, " +
+        "CASE WHEN k = 4 THEN 'meta' ELSE 'header' END AS charset_src, " +
+        "CASE k WHEN 0 THEN 'plain doc ' || CAST(doc_id AS VARCHAR) " +
+        "WHEN 1 THEN 'chunked doc ' || CAST(doc_id AS VARCHAR) " +
+        "WHEN 2 THEN 'gzipped doc ' || CAST(doc_id AS VARCHAR) " +
+        "WHEN 3 THEN 'deflated doc ' || CAST(doc_id AS VARCHAR) " +
+        "ELSE '<meta charset=iso-8859-1>chunked+gzip doc ' || CAST(doc_id AS VARCHAR) " +
+        "END AS body_text FROM d ORDER BY 1"),
     // canonicalization replay: expected canonical string + eTLD+1 by
     // CASE arithmetic over the same doc_id selectors the synth used
     "url1_canonicalize" ->

@@ -296,6 +296,148 @@ object WarcCodec {
   }
 
   // ------------------------------------------------------------------
+  // HTTP transfer / content decoding (RFC 9112 §7.1, RFC 9110 §8.4)
+  // ------------------------------------------------------------------
+
+  /** Chunked transfer encoding: hex size line (chunk extensions after
+    * ';' tolerated) + data + CRLF per chunk, a zero chunk, then any
+    * trailer fields up to the final CRLF. Strict: bad hex, a missing
+    * CRLF, truncation, or an over-running size returns None. */
+  def decodeChunked(bytes: Array[Byte]): Option[Array[Byte]] = {
+    val out = new java.io.ByteArrayOutputStream(bytes.length)
+    var pos = 0
+    while (true) {
+      val eol = indexOfCrlf(bytes, pos)
+      if (eol < 0) return None
+      var line = new String(bytes, pos, eol - pos, StandardCharsets.ISO_8859_1)
+      val semi = line.indexOf(';')
+      if (semi >= 0) line = line.substring(0, semi)
+      line = line.trim
+      if (line.isEmpty || !line.forall(c => Character.digit(c, 16) >= 0)) return None
+      if (line.length > 7) return None // > 0xFFFFFFF: forged size
+      val size = java.lang.Long.parseLong(line, 16)
+      pos = eol + 2
+      if (size == 0) {
+        // skip trailer fields until the terminating empty line
+        while (pos < bytes.length) {
+          val te = indexOfCrlf(bytes, pos)
+          if (te < 0) return None
+          if (te == pos) return Some(out.toByteArray) // empty line
+          pos = te + 2
+        }
+        // a bare "0\r\n" at end-of-buffer (no trailer section) also ends it
+        return if (pos == bytes.length) Some(out.toByteArray) else None
+      }
+      if (pos + size + 2 > bytes.length) return None
+      out.write(bytes, pos, size.toInt)
+      pos += size.toInt
+      if (bytes(pos) != '\r' || bytes(pos + 1) != '\n') return None
+      pos += 2
+    }
+    None // unreachable
+  }
+
+  private def indexOfCrlf(b: Array[Byte], from: Int): Int = {
+    var i = from
+    while (i + 1 < b.length) {
+      if (b(i) == '\r' && b(i + 1) == '\n') return i
+      i += 1
+    }
+    -1
+  }
+
+  /** Chunked framing for the builders: deterministic fixed-size chunks. */
+  def buildChunked(body: Array[Byte], chunkSize: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(body.length + 64)
+    var pos = 0
+    while (pos < body.length) {
+      val n = math.min(chunkSize, body.length - pos)
+      out.write(java.lang.Integer.toHexString(n).getBytes(StandardCharsets.ISO_8859_1))
+      out.write('\r'); out.write('\n')
+      out.write(body, pos, n)
+      out.write('\r'); out.write('\n')
+      pos += n
+    }
+    out.write("0\r\n\r\n".getBytes(StandardCharsets.ISO_8859_1))
+    out.toByteArray
+  }
+
+  /** zlib-wrapped DEFLATE (what servers send as Content-Encoding:
+    * deflate), with the raw-deflate fallback some of them actually emit
+    * (a long-standing interop quirk). Bounded like the gzip walk. */
+  def inflateDeflate(bytes: Array[Byte],
+                     maxTotal: Long = MaxDecompressedBytes): Option[Array[Byte]] = {
+    def run(nowrap: Boolean): Option[Array[Byte]] = {
+      val inf = new Inflater(nowrap)
+      val out = new java.io.ByteArrayOutputStream(8192)
+      try {
+        inf.setInput(bytes)
+        val buf = new Array[Byte](8192)
+        var total = 0L
+        while (!inf.finished()) {
+          val n =
+            try inf.inflate(buf)
+            catch { case _: java.util.zip.DataFormatException => return None }
+          if (n == 0 && !inf.finished()) return None
+          total += n
+          if (total > maxTotal) return None
+          out.write(buf, 0, n)
+        }
+        Some(out.toByteArray)
+      } finally inf.end()
+    }
+    run(nowrap = false).orElse(run(nowrap = true))
+  }
+
+  /** The decoded entity body of a captured response: reverse the
+    * transfer coding first (chunked de-framing), then the content
+    * coding (gzip via the CRC-verified member walk; deflate with the
+    * zlib/raw fallback; identity passes through). Unknown codings or a
+    * failed decode return None — the caller drops the record rather
+    * than emit mojibake. */
+  def httpEntityBody(resp: HttpResponse): Option[Array[Byte]] = {
+    val te = resp.header("Transfer-Encoding").map(_.toLowerCase.trim)
+    val afterTransfer: Option[Array[Byte]] = te match {
+      case Some(v) if v.split(',').map(_.trim).contains("chunked") =>
+        decodeChunked(resp.body)
+      case Some(v) if v.nonEmpty && v != "identity" => None
+      case _ => Some(resp.body)
+    }
+    afterTransfer.flatMap { b =>
+      resp.header("Content-Encoding").map(_.toLowerCase.trim).getOrElse("identity") match {
+        case "identity" | "" => Some(b)
+        case "gzip" | "x-gzip" =>
+          gunzipMembers(b).map { ms =>
+            if (ms.length == 1) ms.head
+            else {
+              val out = new java.io.ByteArrayOutputStream()
+              ms.foreach(out.write)
+              out.toByteArray
+            }
+          }
+        case "deflate" => inflateDeflate(b)
+        case _ => None
+      }
+    }
+  }
+
+  /** zlib-wrapped deflate builder (the Content-Encoding: deflate wire
+    * form). */
+  def zlibDeflate(payload: Array[Byte]): Array[Byte] = {
+    val def_ = new Deflater()
+    try {
+      def_.setInput(payload); def_.finish()
+      val out = new java.io.ByteArrayOutputStream(payload.length / 2 + 64)
+      val buf = new Array[Byte](8192)
+      while (!def_.finished()) {
+        val n = def_.deflate(buf)
+        out.write(buf, 0, n)
+      }
+      out.toByteArray
+    } finally def_.end()
+  }
+
+  // ------------------------------------------------------------------
   // Charset sniffing + decode (WHATWG-style precedence)
   // ------------------------------------------------------------------
 

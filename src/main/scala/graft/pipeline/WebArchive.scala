@@ -56,14 +56,20 @@ object WebArchive {
                 .toVector
               recs.iterator.zipWithIndex.flatMap { case (rec, idx) =>
                 if (rec.warcType == "response")
-                  WarcCodec.parseHttpResponse(rec.block).map { http =>
+                  for {
+                    http <- WarcCodec.parseHttpResponse(rec.block)
+                    // reverse chunked framing + gzip/deflate content
+                    // coding BEFORE the charset sniff — the meta-tag
+                    // prescan must see plaintext, not deflate bytes
+                    body <- WarcCodec.httpEntityBody(http)
+                  } yield {
                     val ct = http.header("Content-Type")
-                    val sniff = WarcCodec.sniffCharset(ct, http.body)
+                    val sniff = WarcCodec.sniffCharset(ct, body)
                     val mime = ct.map(_.split(';')(0).trim.toLowerCase).getOrElse("")
                     WarcRecRow(docId, ref, idx, rec.warcType, rec.targetUri,
                       http.status, mime, sniff.charset, sniff.source,
                       rec.block.length.toLong,
-                      WarcCodec.decodeText(http.body, sniff.charset))
+                      WarcCodec.decodeText(body, sniff.charset))
                   }
                 else
                   Some(WarcRecRow(docId, ref, idx, rec.warcType, rec.targetUri,

@@ -124,6 +124,52 @@ class WarcSpec extends AnyFunSuite {
     assert(WarcCodec.parseHttpResponse("not http".getBytes(UTF_8)).isEmpty)
   }
 
+  // ---- transfer / content codings ----
+
+  test("chunked: round-trip, extensions + trailers tolerated, damage rejected") {
+    val body = ("chunk me " * 40).getBytes(UTF_8)
+    val wire = WarcCodec.buildChunked(body, 17)
+    assert(WarcCodec.decodeChunked(wire).get.sameElements(body))
+    // chunk extension after ';' and a trailer field
+    val fancy = ("5;ext=1\r\nhello\r\n0\r\nX-Trailer: v\r\n\r\n").getBytes(UTF_8)
+    assert(WarcCodec.decodeChunked(fancy).get.sameElements("hello".getBytes(UTF_8)))
+    assert(WarcCodec.decodeChunked("zz\r\nhello\r\n0\r\n\r\n".getBytes(UTF_8)).isEmpty)
+    assert(WarcCodec.decodeChunked("ff\r\nshort\r\n0\r\n\r\n".getBytes(UTF_8)).isEmpty)
+    assert(WarcCodec.decodeChunked(wire.dropRight(4)).isEmpty)
+    assert(WarcCodec.decodeChunked("5\r\nhelloXX0\r\n\r\n".getBytes(UTF_8)).isEmpty)
+  }
+
+  test("deflate: zlib-wrapped and raw both inflate; garbage rejects") {
+    val payload = ("deflate me " * 30).getBytes(UTF_8)
+    assert(WarcCodec.inflateDeflate(WarcCodec.zlibDeflate(payload)).get.sameElements(payload))
+    val raw = { // raw deflate (the interop quirk)
+      val d = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+      d.setInput(payload); d.finish()
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      while (!d.finished()) { val n = d.deflate(buf); out.write(buf, 0, n) }
+      d.end(); out.toByteArray
+    }
+    assert(WarcCodec.inflateDeflate(raw).get.sameElements(payload))
+    assert(WarcCodec.inflateDeflate("not deflate data at all".getBytes(UTF_8)).isEmpty)
+  }
+
+  test("httpEntityBody: chunked + gzip stack reverses in wire order") {
+    val plain = "the actual page".getBytes(UTF_8)
+    val resp = WarcCodec.parseHttpResponse(WarcCodec.buildHttpResponse(200,
+      Seq("Transfer-Encoding" -> "chunked", "Content-Encoding" -> "gzip"),
+      WarcCodec.buildChunked(WarcCodec.gzipMember(plain), 9))).get
+    assert(WarcCodec.httpEntityBody(resp).get.sameElements(plain))
+    // unknown content coding -> None (drop, never mojibake)
+    val bad = WarcCodec.parseHttpResponse(WarcCodec.buildHttpResponse(200,
+      Seq("Content-Encoding" -> "br"), plain)).get
+    assert(WarcCodec.httpEntityBody(bad).isEmpty)
+    // identity passthrough
+    val id = WarcCodec.parseHttpResponse(WarcCodec.buildHttpResponse(200,
+      Seq("Content-Type" -> "text/plain"), plain)).get
+    assert(WarcCodec.httpEntityBody(id).get.sameElements(plain))
+  }
+
   // ---- charset sniff + decode ----
 
   test("charset: BOM > header > meta > default precedence") {
