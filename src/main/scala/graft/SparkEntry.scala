@@ -792,6 +792,22 @@ object SparkEntry {
       Multimodal.pixelStats(media).orderBy("doc_id", "channel")
     }),
 
+    // mm17: Adam7-INTERLACED PNG — the progressive layout real web PNGs
+    // use: same pixel formula as mm4 but laid out in seven passes, each
+    // independently filtered against pass-local neighbors. The oracle is
+    // the same pixel-formula replay, so the pass geometry, per-pass
+    // unfilter and scatter must reconstruct the exact image.
+    "mm17_png_interlace_stats" -> ((s, dir) => {
+      val media = Multimodal.synthTable(documents(s, dir)) { (id, payload) =>
+        val n = payload.length
+        val w = 8 + n % 24; val h = 8 + n % 16
+        (s"media://$id.png",
+          graft.pipeline.MediaCodec.buildPngPixelsInterlaced(w, h,
+            (r, c, ch) => ((id + r * 7L + c * 13L + ch * 101L) % 256).toInt))
+      }
+      Multimodal.pixelStats(media).orderBy("doc_id", "channel")
+    }),
+
     // mm5: DEEP PDF text extraction — REAL content-stream parse: every
     // page references a content stream holding `(header) Tj [(text) -250
     // (#END)] TJ` show ops; odd doc_ids get the stream FlateDecode-
@@ -1759,6 +1775,20 @@ object SparkEntry {
     // must reproduce the exact image to match. Series bounds 22/30 cover
     // the max dims (h <= 8+15, w <= 8+23).
     "mm4_pixel_stats" ->
+      ("WITH m AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents), " +
+        "d AS (SELECT doc_id, 8 + n % 24 AS w, 8 + n % 16 AS h FROM m), " +
+        "px AS (SELECT d.doc_id, d.w, d.h, ch.ch, " +
+        "(d.doc_id + r.r * 7 + c.c * 13 + ch.ch * 101) % 256 AS v " +
+        "FROM d, generate_series(0, 22) AS r(r), generate_series(0, 30) AS c(c), " +
+        "(VALUES (0),(1),(2)) AS ch(ch) WHERE r.r < d.h AND c.c < d.w) " +
+        "SELECT doc_id, 'media://' || CAST(doc_id AS VARCHAR) || '.png' AS media_ref, " +
+        "CAST(w AS INT) AS width, CAST(h AS INT) AS height, CAST(ch AS INT) AS channel, " +
+        "CAST(sum(v) AS BIGINT) AS px_sum, CAST(min(v) AS INT) AS px_min, " +
+        "CAST(max(v) AS INT) AS px_max " +
+        "FROM px GROUP BY doc_id, w, h, ch ORDER BY doc_id, ch"),
+    // Adam7 replay: identical formula to mm4 — interlacing must be
+    // invisible in the decoded pixels
+    "mm17_png_interlace_stats" ->
       ("WITH m AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents), " +
         "d AS (SELECT doc_id, 8 + n % 24 AS w, 8 + n % 16 AS h FROM m), " +
         "px AS (SELECT d.doc_id, d.w, d.h, ch.ch, " +

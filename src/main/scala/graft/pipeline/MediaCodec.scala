@@ -64,7 +64,10 @@ object MediaCodec {
   def jpegBytes(n: Long): Long = 35 + n + 4 * ((n + 65532) / 65533)
 
   /** Truecolor 8-bit PNG with `payload` as the (opaque) IDAT body. */
-  def buildPng(w: Int, h: Int, payload: Array[Byte]): Array[Byte] = {
+  def buildPng(w: Int, h: Int, payload: Array[Byte]): Array[Byte] =
+    buildPng(w, h, payload, interlace = 0)
+
+  def buildPng(w: Int, h: Int, payload: Array[Byte], interlace: Int): Array[Byte] = {
     val out = new ByteArrayOutputStream(payload.length + 64)
     out.write(PngSig, 0, 8)
     def chunk(typ: String, data: Array[Byte]): Unit = {
@@ -82,6 +85,7 @@ object MediaCodec {
     ihdr(4) = (h >>> 24).toByte; ihdr(5) = (h >>> 16).toByte
     ihdr(6) = (h >>> 8).toByte; ihdr(7) = h.toByte
     ihdr(8) = 8; ihdr(9) = 2 // bit depth 8, truecolor
+    ihdr(12) = interlace.toByte // 0 = sequential, 1 = Adam7
     chunk("IHDR", ihdr)
     chunk("IDAT", payload)
     chunk("IEND", Array.emptyByteArray)
@@ -754,6 +758,77 @@ object MediaCodec {
     if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
   }
 
+  // Adam7 pass geometry (ISO/IEC 15948 §8.2): start offsets and strides
+  // per pass; each pass is filtered as an independent sub-image.
+  private val A7xStart = Array(0, 4, 0, 2, 0, 1, 0)
+  private val A7yStart = Array(0, 0, 4, 0, 2, 0, 1)
+  private val A7xStep = Array(8, 8, 4, 4, 2, 2, 1)
+  private val A7yStep = Array(8, 8, 8, 4, 4, 2, 2)
+  private def a7PassW(p: Int, w: Int): Int =
+    math.max(0, (w - A7xStart(p) + A7xStep(p) - 1) / A7xStep(p))
+  private def a7PassH(p: Int, h: Int): Int =
+    math.max(0, (h - A7yStart(p) + A7yStep(p) - 1) / A7yStep(p))
+
+  /** Adam7-INTERLACED truecolor 8-bit PNG over the same per-pixel
+    * formula as buildPngPixels — the progressive layout real web PNGs
+    * use. Each of the seven passes is filtered as an independent
+    * sub-image (filter type cycles per pass row, exercising all five
+    * against pass-local neighbors). */
+  def buildPngPixelsInterlaced(w: Int, h: Int, pixel: (Int, Int, Int) => Int): Array[Byte] = {
+    require(w > 0 && h > 0, s"buildPngPixelsInterlaced: bad dims ${w}x$h")
+    val raw = new ByteArrayOutputStream(h * (1 + w * PngBpp) + 64)
+    var p = 0
+    while (p < 7) {
+      val pw = a7PassW(p, w); val ph = a7PassH(p, h)
+      if (pw > 0 && ph > 0) {
+        val rowBytes = pw * PngBpp
+        var prev = new Array[Byte](rowBytes)
+        var cur = new Array[Byte](rowBytes)
+        var r = 0
+        while (r < ph) {
+          val y = A7yStart(p) + r * A7yStep(p)
+          var i = 0
+          while (i < rowBytes) {
+            val x = A7xStart(p) + (i / PngBpp) * A7xStep(p)
+            cur(i) = (pixel(y, x, i % PngBpp) & 0xff).toByte
+            i += 1
+          }
+          val ft = r % 5
+          raw.write(ft)
+          i = 0
+          while (i < rowBytes) {
+            val x = cur(i) & 0xff
+            val a = if (i >= PngBpp) cur(i - PngBpp) & 0xff else 0
+            val b = prev(i) & 0xff
+            val c = if (i >= PngBpp) prev(i - PngBpp) & 0xff else 0
+            val filtered = ft match {
+              case 0 => x
+              case 1 => x - a
+              case 2 => x - b
+              case 3 => x - (a + b) / 2
+              case _ => x - paeth(a, b, c)
+            }
+            raw.write(filtered & 0xff)
+            i += 1
+          }
+          val t = prev; prev = cur; cur = t
+          r += 1
+        }
+      }
+      p += 1
+    }
+    val deflater = new java.util.zip.Deflater(6)
+    deflater.setInput(raw.toByteArray); deflater.finish()
+    val zout = new ByteArrayOutputStream(raw.size() / 2 + 64)
+    val buf = new Array[Byte](8192)
+    while (!deflater.finished()) {
+      val k = deflater.deflate(buf)
+      zout.write(buf, 0, k)
+    }
+    deflater.end()
+    buildPng(w, h, zout.toByteArray, interlace = 1)
+  }
+
   /** Inflate + unfilter a truecolor 8-bit PNG's pixel data; returns the
     * raw RGB bytes row-major (no filter bytes), or None when the file is
     * not an 8-bit truecolor PNG or its stream is corrupt/truncated. */
@@ -762,10 +837,23 @@ object MediaCodec {
       case Some(info) =>
         if (b(24) != 8 || b(25) != 2) return None // bit depth 8, truecolor only
         val w = info.width; val h = info.height
+        val interlaced = b(28) == 1
+        if (b(28) != 0 && b(28) != 1) return None
         // guard the allocation BEFORE trusting header dims: a forged
         // 2^31-pixel header must not OOM the task
         val stride = 1L + w.toLong * PngBpp
-        val rawLen = h.toLong * stride
+        val rawLen =
+          if (!interlaced) h.toLong * stride
+          else { // Adam7: each non-empty pass row carries its own filter byte
+            var t = 0L
+            var p = 0
+            while (p < 7) {
+              val pw = a7PassW(p, w).toLong; val ph = a7PassH(p, h).toLong
+              if (pw > 0 && ph > 0) t += ph * (1L + pw * PngBpp)
+              p += 1
+            }
+            t
+          }
         if (rawLen > (64L << 20)) return None // 64 MB decoded cap per image
         // concatenate IDAT chunk bodies (PNG allows splitting anywhere)
         val z = new ByteArrayOutputStream(b.length)
@@ -796,6 +884,56 @@ object MediaCodec {
         } finally inflater.end()
         // reverse the per-scanline filter in place (ISO/IEC 15948 §9.2)
         val out = new Array[Byte](w * h * PngBpp)
+        if (interlaced) {
+          // Adam7: unfilter each pass as an independent sub-image
+          // against PASS-LOCAL neighbors, then scatter into place.
+          var off = 0
+          var p = 0
+          while (p < 7) {
+            val pw = a7PassW(p, w); val ph = a7PassH(p, h)
+            if (pw > 0 && ph > 0) {
+              val prb = pw * PngBpp
+              var prev = new Array[Byte](prb)
+              var cur = new Array[Byte](prb)
+              var pr = 0
+              while (pr < ph) {
+                val ft = raw(off) & 0xff
+                if (ft > 4) return None
+                off += 1
+                var j = 0
+                while (j < prb) {
+                  val x = raw(off + j) & 0xff
+                  val a = if (j >= PngBpp) cur(j - PngBpp) & 0xff else 0
+                  val bb = if (pr > 0) prev(j) & 0xff else 0
+                  val c = if (pr > 0 && j >= PngBpp) prev(j - PngBpp) & 0xff else 0
+                  val v = ft match {
+                    case 0 => x
+                    case 1 => x + a
+                    case 2 => x + bb
+                    case 3 => x + (a + bb) / 2
+                    case _ => x + paeth(a, bb, c)
+                  }
+                  cur(j) = (v & 0xff).toByte
+                  j += 1
+                }
+                off += prb
+                val y = A7yStart(p) + pr * A7yStep(p)
+                var px = 0
+                while (px < pw) {
+                  val dst = (y * w + A7xStart(p) + px * A7xStep(p)) * PngBpp
+                  out(dst) = cur(px * PngBpp)
+                  out(dst + 1) = cur(px * PngBpp + 1)
+                  out(dst + 2) = cur(px * PngBpp + 2)
+                  px += 1
+                }
+                val t = prev; prev = cur; cur = t
+                pr += 1
+              }
+            }
+            p += 1
+          }
+          return Some((w, h, out))
+        }
         val rowBytes = w * PngBpp
         var r = 0
         while (r < h) {

@@ -1199,4 +1199,68 @@ class MediaSpec extends AnyFunSuite {
     val png = MediaCodec.buildPng(10, 10, Array.emptyByteArray)
     assert(MediaCodec.parse(png.take(20)).isEmpty)
   }
+
+  // ---- PNG Adam7 interlace ----
+
+  private def a7Formula(r: Int, c: Int, ch: Int): Int = (7 + r * 31 + c * 17 + ch * 101) % 256
+
+  test("PNG Adam7: interlaced decode is byte-identical to the sequential decode") {
+    // 21x13: not multiples of 8, so several passes are partial and the
+    // ceil geometry is exercised; 8x8 and 3x2 hit empty passes
+    for ((w, h) <- Seq((21, 13), (8, 8), (3, 2), (1, 1))) {
+      val seq = MediaCodec.decodePngRaw(MediaCodec.buildPngPixels(w, h, a7Formula)).get
+      val ilc = MediaCodec.decodePngRaw(MediaCodec.buildPngPixelsInterlaced(w, h, a7Formula)).get
+      assert(ilc._1 == w && ilc._2 == h)
+      assert(ilc._3.sameElements(seq._3), s"pixel mismatch at ${w}x$h")
+    }
+  }
+
+  test("PNG Adam7 conformance: the JDK's ImageIO decodes our interlaced PNG exact") {
+    val w = 19; val h = 11
+    val png = MediaCodec.buildPngPixelsInterlaced(w, h, a7Formula)
+    assert(png(28) == 1, "IHDR interlace byte not set")
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    assert(img != null, "ImageIO could not read our interlaced PNG")
+    assert(img.getWidth == w && img.getHeight == h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val rgb = img.getRGB(x, y)
+      assert(((rgb >> 16) & 0xff) == a7Formula(y, x, 0), s"R at ($x,$y)")
+      assert(((rgb >> 8) & 0xff) == a7Formula(y, x, 1), s"G at ($x,$y)")
+      assert((rgb & 0xff) == a7Formula(y, x, 2), s"B at ($x,$y)")
+    }
+  }
+
+  test("PNG Adam7 conformance: our decoder reads ImageIO-written progressive PNGs exact") {
+    val w = 23; val h = 9
+    val bi = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w)
+      bi.setRGB(x, y, (a7Formula(y, x, 0) << 16) | (a7Formula(y, x, 1) << 8) | a7Formula(y, x, 2))
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+    val param = writer.getDefaultWriteParam
+    assert(param.canWriteProgressive, "JDK PNG writer lost progressive support?")
+    param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    val baos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(bi, null, null), param)
+    ios.close(); writer.dispose()
+    val bytes = baos.toByteArray
+    assert(bytes(28) == 1, "ImageIO did not write an Adam7 PNG")
+    val ours = MediaCodec.decodePngRaw(bytes)
+    assert(ours.isDefined, "our decoder rejected ImageIO's interlaced PNG")
+    val (dw, dh, px) = ours.get
+    assert(dw == w && dh == h)
+    for (y <- 0 until h; x <- 0 until w; ch <- 0 until 3)
+      assert((px((y * w + x) * 3 + ch) & 0xff) == a7Formula(y, x, ch), s"ch$ch at ($x,$y)")
+  }
+
+  test("PNG Adam7: truncated interlaced stream and forged interlace byte reject") {
+    val png = MediaCodec.buildPngPixelsInterlaced(16, 16, a7Formula)
+    // flip the interlace byte on real Adam7 data: raw size mismatch -> None
+    val lying = png.clone(); lying(28) = 0
+    // (the IHDR CRC now mismatches too, but the raw-size check alone must hold)
+    assert(MediaCodec.decodePngRaw(lying).isEmpty)
+    val forged = MediaCodec.buildPng(16, 16, Array.fill(8)(0.toByte), interlace = 2)
+    assert(MediaCodec.decodePngRaw(forged).isEmpty) // unknown interlace method
+  }
 }
