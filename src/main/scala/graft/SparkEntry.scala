@@ -1124,6 +1124,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // tx8: HTML character-reference decoding — extracted crawl text is
+    // full of &amp;/&#233;-style references that must resolve before
+    // quality scoring or tokenization (the REWRITE engine passes them
+    // through verbatim by design — this is the text-branch counterpart).
+    // Named subset, decimal, hex incl. an astral code point, and the
+    // unknown-reference passthrough, all replayed literally.
+    "tx8_html_unescape" -> ((s, dir) => {
+      documents(s, dir).select(col("doc_id"),
+        WebFunctions.html_unescape(
+          concat(lit("&lt;b&gt; caf&eacute; &#233; &#x1F600; doc "),
+            col("doc_id").cast("string"),
+            lit(" &amp;co &unknown; AT&T &copy;"))).as("decoded"))
+        .orderBy("doc_id")
+    }),
+
     // wa3: HTTP transfer/content decoding — what captured responses
     // actually look like on the wire: chunked framing, gzip and
     // zlib-deflate content codings, and both stacked (chunked outside,
@@ -1972,6 +1987,11 @@ object SparkEntry {
         "CAST(16 + n % 64 AS INT) AS width, CAST(16 + n % 48 AS INT) AS height, " +
         "CAST(CASE WHEN doc_id % 5 = 4 THEN 0 ELSE 1 + doc_id % 8 END AS INT) " +
         "AS orientation FROM m ORDER BY 1"),
+    // reference-decode replay: the expected plaintext as a literal —
+    // named + numeric resolved, unknown reference and bare & preserved
+    "tx8_html_unescape" ->
+      ("SELECT doc_id, '<b> café é 😀 doc ' || CAST(doc_id AS VARCHAR) || " +
+        "' &co &unknown; AT&T ©' AS decoded FROM documents ORDER BY 1"),
     // transfer/content-coding replay: decoded plaintext per variant;
     // the chunked+gzip row's meta charset only sniffs if the Spark side
     // really de-chunked AND gunzipped first

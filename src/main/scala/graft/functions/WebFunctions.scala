@@ -292,6 +292,82 @@ object Robots {
     UTF8String.fromString(decide(robots.toString, agent.toString, path.toString)._2)
 }
 
+/** HTML character-reference decoding for the TEXT pipeline. The rewrite
+  * engine deliberately passes entities through verbatim (byte-exact
+  * output fidelity, SURVEY §2.5); extracted text headed for quality /
+  * dedup / tokenization wants them resolved. Numeric references
+  * (decimal and hex, surrogate-safe, WHATWG out-of-range -> U+FFFD) and
+  * a documented subset of the WHATWG named set; unknown or unterminated
+  * references pass through unchanged (semicolon-terminated forms only —
+  * the legacy no-semicolon quirk is out of scope and documented). */
+object HtmlText {
+
+  private val named: java.util.HashMap[String, String] = {
+    val m = new java.util.HashMap[String, String]()
+    val pairs = Seq(
+      "amp" -> "&", "lt" -> "<", "gt" -> ">", "quot" -> "\"", "apos" -> "'",
+      "nbsp" -> " ", "copy" -> "©", "reg" -> "®",
+      "trade" -> "™", "hellip" -> "…", "mdash" -> "—",
+      "ndash" -> "–", "lsquo" -> "‘", "rsquo" -> "’",
+      "ldquo" -> "“", "rdquo" -> "”", "laquo" -> "«",
+      "raquo" -> "»", "eacute" -> "é", "egrave" -> "è",
+      "agrave" -> "à", "ccedil" -> "ç", "auml" -> "ä",
+      "ouml" -> "ö", "uuml" -> "ü", "szlig" -> "ß",
+      "times" -> "×", "deg" -> "°", "middot" -> "·",
+      "bull" -> "•", "sect" -> "§", "para" -> "¶",
+      "euro" -> "€", "pound" -> "£", "yen" -> "¥",
+      "cent" -> "¢")
+    pairs.foreach { case (k, v) => m.put(k, v) }
+    m
+  }
+
+  def unescape(s: UTF8String): UTF8String = UTF8String.fromString(unescape(s.toString))
+  def unescape(s: String): String = {
+    var amp = s.indexOf('&')
+    if (amp < 0) return s
+    // java.lang.StringBuilder: the (CharSequence, from, to) append —
+    // scala's StringBuilder would auto-tuple those args into append(Any)
+    val sb = new java.lang.StringBuilder(s.length)
+    var pos = 0
+    while (amp >= 0) {
+      sb.append(s, pos, amp)
+      pos = amp
+      val semi = s.indexOf(';', amp + 1)
+      // longest WHATWG name is ~32 chars; past that it's not a reference
+      if (semi > amp + 1 && semi - amp <= 33) {
+        val body = s.substring(amp + 1, semi)
+        val repl: String =
+          if (body.charAt(0) == '#') {
+            val (digits, radix) =
+              if (body.length > 1 && (body.charAt(1) == 'x' || body.charAt(1) == 'X'))
+                (body.substring(2), 16)
+              else (body.substring(1), 10)
+            if (digits.nonEmpty && digits.length <= 8 &&
+              digits.forall(c => Character.digit(c, radix) >= 0)) {
+              val cp = java.lang.Long.parseLong(digits, radix)
+              if (cp == 0 || cp > 0x10ffffL || (cp >= 0xd800L && cp <= 0xdfffL)) "�"
+              else new String(Character.toChars(cp.toInt))
+            } else null
+          } else named.get(body)
+        if (repl != null) { sb.append(repl); pos = semi + 1 }
+        else { sb.append('&'); pos = amp + 1 }
+      } else { sb.append('&'); pos = amp + 1 }
+      amp = s.indexOf('&', pos)
+    }
+    sb.append(s, pos, s.length)
+    sb.toString
+  }
+}
+
+/** HTML character references resolved, as a native expression. */
+case class HtmlUnescapeExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(v: Any): Any = HtmlText.unescape(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HtmlText.unescape($c)")
+  override protected def withNewChildInternal(c: Expression): HtmlUnescapeExpr = copy(c)
+}
+
 /** Canonical URL as a native expression ("" = unparseable sentinel). */
 case class UrlCanonicalizeExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType
@@ -340,6 +416,7 @@ object WebFunctions {
   import org.apache.spark.sql.graftbridge.{ColumnBridge => ExpressionUtils}
   private def col(e: Expression): Column = ExpressionUtils.column(e)
   private def expr(c: Column): Expression = ExpressionUtils.expression(c)
+  def html_unescape(c: Column): Column = col(HtmlUnescapeExpr(expr(c)))
   def canonical_url(c: Column): Column = col(UrlCanonicalizeExpr(expr(c)))
   def registered_domain(c: Column): Column = col(UrlRegisteredDomainExpr(expr(c)))
   def robots_allowed(robots: Column, agent: Column, path: Column): Column =

@@ -16,5 +16,13 @@ object SqlFunctions {
       es => LangIdExpr(es.head))
     FunctionBridge.registerTempFunction(spark, "graft_simhash64",
       es => SimHash64(es.head))
+    FunctionBridge.registerTempFunction(spark, "graft_html_unescape",
+      es => HtmlUnescapeExpr(es.head))
+    FunctionBridge.registerTempFunction(spark, "graft_canonical_url",
+      es => UrlCanonicalizeExpr(es.head))
+    FunctionBridge.registerTempFunction(spark, "graft_registered_domain",
+      es => UrlRegisteredDomainExpr(es.head))
+    FunctionBridge.registerTempFunction(spark, "graft_robots_allowed",
+      es => RobotsAllowedExpr(es(0), es(1), es(2)))
   }
 }

@@ -57,6 +57,30 @@ class WebSpec extends AnyFunSuite {
     assert(Urls.urlRegisteredDomain("garbage") == "")
   }
 
+  // ---- HTML character references ----
+
+  test("html: named subset and numeric (dec/hex incl. astral) references decode") {
+    import graft.functions.HtmlText
+    assert(HtmlText.unescape("&lt;b&gt; caf&eacute; &amp;co") == "<b> café &co")
+    assert(HtmlText.unescape("&#233; &#xE9; &#x1F600;") == "é é 😀")
+    assert(HtmlText.unescape("no references here") == "no references here")
+    assert(HtmlText.unescape("&copy;&euro;&nbsp;!") == "©€ !")
+  }
+
+  test("html: unknown/unterminated/out-of-range references handled the WHATWG way") {
+    import graft.functions.HtmlText
+    assert(HtmlText.unescape("&unknown; stays") == "&unknown; stays")
+    assert(HtmlText.unescape("AT&T and R&D") == "AT&T and R&D")
+    assert(HtmlText.unescape("trailing &") == "trailing &")
+    assert(HtmlText.unescape("&#zz; stays") == "&#zz; stays")
+    assert(HtmlText.unescape("&#0;") == "�")
+    assert(HtmlText.unescape("&#x110000;") == "�")
+    assert(HtmlText.unescape("&#xD800;") == "�")
+    // a ';' too far away is not a reference
+    assert(HtmlText.unescape("& " + ("x" * 40) + ";") == "& " + ("x" * 40) + ";")
+    assert(HtmlText.unescape("&&amp;") == "&&")
+  }
+
   // ---- robots.txt ----
 
   private val robots =
