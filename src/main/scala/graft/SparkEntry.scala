@@ -1183,6 +1183,36 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // sm1: sitemap parsing — the crawl-frontier source that pairs with
+    // robots.txt: both <urlset> and <sitemapindex> documents, with
+    // loc/lastmod/priority fields, ampersand references in locs
+    // resolved, and the protocol's 0.5 priority default. One row per
+    // entry, entry counts varying per doc.
+    "sm1_sitemap" -> ((s, dir) => {
+      import s.implicits._
+      val xmls = documents(s, dir).select(col("doc_id")).as[Long].map { id =>
+        val n = 1 + (id % 3).toInt
+        val xml =
+          if (id % 2 == 0)
+            "<?xml version=\"1.0\" encoding=\"UTF-8\"?>" +
+              "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">" +
+              (0 until n).map(j =>
+                s"<url><loc>https://example.com/p$j?a=1&amp;b=$id</loc>" +
+                  s"<lastmod>2026-0${1 + j}-01</lastmod>" +
+                  s"<priority>0.${j + 1}</priority></url>").mkString +
+              "</urlset>"
+          else
+            "<?xml version=\"1.0\"?>" +
+              "<sitemapindex xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">" +
+              (0 until n).map(j =>
+                s"<sitemap><loc>https://example.com/sitemap$j.xml.gz</loc>" +
+                  s"<lastmod>2026-01-0${1 + j}</lastmod></sitemap>").mkString +
+              "</sitemapindex>"
+        (id, xml)
+      }.toDF("doc_id", "xml")
+      WebArchive.sitemaps(xmls).orderBy("doc_id", "entry_idx")
+    }),
+
     // url1: URL canonicalization — the key every crawl-curation
     // group-by (domain caps, frontier dedup, per-site mixtures) hangs
     // off. Messy URLs synthesized per doc (scheme case, trailing host
@@ -2006,6 +2036,21 @@ object SparkEntry {
         "WHEN 3 THEN 'deflated doc ' || CAST(doc_id AS VARCHAR) " +
         "ELSE '<meta charset=iso-8859-1>chunked+gzip doc ' || CAST(doc_id AS VARCHAR) " +
         "END AS body_text FROM d ORDER BY 1"),
+    // sitemap replay: per-entry fields by formula (fixed series + WHERE,
+    // not lateral); the urlset locs only match if the parser resolved
+    // &amp; back to & and the priority default applied on index entries
+    "sm1_sitemap" ->
+      ("WITH d AS (SELECT doc_id, CAST(1 + doc_id % 3 AS INT) AS n, " +
+        "doc_id % 2 = 0 AS u FROM documents) " +
+        "SELECT doc_id, CAST(j.j AS INT) AS entry_idx, " +
+        "CASE WHEN u THEN 'url' ELSE 'sitemap' END AS kind, " +
+        "CASE WHEN u THEN 'https://example.com/p' || CAST(j.j AS VARCHAR) || " +
+        "'?a=1&b=' || CAST(doc_id AS VARCHAR) " +
+        "ELSE 'https://example.com/sitemap' || CAST(j.j AS VARCHAR) || '.xml.gz' END AS loc, " +
+        "CASE WHEN u THEN '2026-0' || CAST(1 + j.j AS VARCHAR) || '-01' " +
+        "ELSE '2026-01-0' || CAST(1 + j.j AS VARCHAR) END AS lastmod, " +
+        "CASE WHEN u THEN (j.j + 1) / 10.0 ELSE 0.5 END AS priority " +
+        "FROM d, generate_series(0, 2) AS j(j) WHERE j.j < d.n ORDER BY 1, 2"),
     // canonicalization replay: expected canonical string + eTLD+1 by
     // CASE arithmetic over the same doc_id selectors the synth used
     "url1_canonicalize" ->

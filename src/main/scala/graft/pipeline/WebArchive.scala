@@ -20,6 +20,64 @@ import java.nio.charset.StandardCharsets.UTF_8
   */
 object WebArchive {
 
+  final case class SitemapRow(
+      doc_id: Long,
+      entry_idx: Int,
+      kind: String, // "url" (urlset entry) | "sitemap" (index entry)
+      loc: String,
+      lastmod: String,
+      priority: Double)
+
+  /** Sitemap XML (sitemaps.org protocol) → one row per entry: both
+    * <urlset> and <sitemapindex> documents, loc/lastmod/priority
+    * fields, character references in <loc> resolved (ampersands in
+    * query strings are the norm). Tag-scan parser — no DTD/namespace
+    * machinery, which the protocol doesn't use; malformed blocks are
+    * skipped, never thrown. Scan-local explode like records(). */
+  def sitemapEntries(xml: String): Vector[SitemapRow] = {
+    val entries = Vector.newBuilder[SitemapRow]
+    def field(block: String, tag: String): String = {
+      val open = block.indexOf(s"<$tag>")
+      val close = block.indexOf(s"</$tag>")
+      if (open < 0 || close < open) ""
+      else graft.functions.HtmlText.unescape(
+        block.substring(open + tag.length + 2, close).trim)
+    }
+    def walk(container: String, kind: String): Unit = {
+      var from = 0
+      var idx = 0
+      var open = xml.indexOf(s"<$container>", from)
+      while (open >= 0) {
+        val close = xml.indexOf(s"</$container>", open)
+        if (close < 0) return
+        val block = xml.substring(open, close)
+        val loc = field(block, "loc")
+        if (loc.nonEmpty) {
+          val pr = field(block, "priority")
+          entries += SitemapRow(0L, idx, kind, loc, field(block, "lastmod"),
+            pr.toDoubleOption.getOrElse(0.5)) // 0.5 = the protocol default
+          idx += 1
+        }
+        from = close + container.length + 3
+        open = xml.indexOf(s"<$container>", from)
+      }
+    }
+    if (xml.contains("<sitemapindex")) walk("sitemap", "sitemap")
+    else walk("url", "url")
+    entries.result()
+  }
+
+  /** (doc_id, xml) column pair → exploded sitemap entries. */
+  def sitemaps(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select("doc_id", "xml").as[(Long, String)].mapPartitions { it =>
+      it.flatMap { case (id, xml) =>
+        sitemapEntries(xml).map(_.copy(doc_id = id))
+      }
+    }.toDF()
+  }
+
   final case class WarcRecRow(
       doc_id: Long,
       warc_ref: String,

@@ -57,6 +57,35 @@ class WebSpec extends AnyFunSuite {
     assert(Urls.urlRegisteredDomain("garbage") == "")
   }
 
+  // ---- sitemaps ----
+
+  test("sitemap: urlset entries with entities, defaults, and malformed blocks") {
+    import graft.pipeline.WebArchive
+    val xml = "<?xml version=\"1.0\"?><urlset xmlns=\"x\">" +
+      "<url><loc>https://e.com/a?x=1&amp;y=2</loc><lastmod>2026-01-01</lastmod>" +
+      "<priority>0.8</priority></url>" +
+      "<url><loc>https://e.com/b</loc></url>" + // no lastmod/priority -> defaults
+      "<url><lastmod>2026-01-02</lastmod></url>" + // no loc -> skipped
+      "</urlset>"
+    val es = WebArchive.sitemapEntries(xml)
+    assert(es.length == 2)
+    assert(es(0).loc == "https://e.com/a?x=1&y=2" && es(0).priority == 0.8)
+    assert(es(1).loc == "https://e.com/b" && es(1).lastmod == "" && es(1).priority == 0.5)
+    assert(es.map(_.kind).forall(_ == "url"))
+  }
+
+  test("sitemap: sitemapindex entries and truncated container") {
+    import graft.pipeline.WebArchive
+    val idx = "<sitemapindex><sitemap><loc>https://e.com/s1.xml</loc></sitemap>" +
+      "<sitemap><loc>https://e.com/s2.xml</loc></sitemap></sitemapindex>"
+    val es = WebArchive.sitemapEntries(idx)
+    assert(es.map(_.loc) == Vector("https://e.com/s1.xml", "https://e.com/s2.xml"))
+    assert(es.forall(_.kind == "sitemap"))
+    // an unterminated block parses what's complete, never throws
+    val trunc = "<urlset><url><loc>https://e.com/ok</loc></url><url><loc>https://e.com/cut"
+    assert(WebArchive.sitemapEntries(trunc).map(_.loc) == Vector("https://e.com/ok"))
+  }
+
   // ---- HTML character references ----
 
   test("html: named subset and numeric (dec/hex incl. astral) references decode") {
