@@ -1183,6 +1183,52 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // pr1: link-graph PageRank — the centrality signal web-corpus
+    // curation mixes into quality weights, in its oracle-able form:
+    // FIXED-POINT integer arithmetic (ranks in 2^-40 units, truncating
+    // divisions, damping as the exact rational 85/100), so the result
+    // is bit-identical under any partitioning and the SQL oracle can
+    // replay all three power iterations. Graph: 4 formula outlinks per
+    // doc over the contiguous doc_id space.
+    "pr1_pagerank" -> ((s, dir) => {
+      import s.implicits._
+      val docs = documents(s, dir)
+      val nodes = docs.select(col("doc_id").as("node"))
+      val nn = nodes.count()
+      val edges = docs.select(col("doc_id")).as[Long].flatMap { id =>
+        Seq((id, (id * 7) % nn), (id, (id * 13 + 1) % nn),
+          (id, (id * 31 + 2) % nn), (id, (id * 101 + 3) % nn))
+      }.toDF("src", "dst")
+      graft.pipeline.LinkGraph.pagerankFixedPoint(edges, nodes, iters = 3)
+        .orderBy("node")
+    }),
+
+    // lk1: outlink resolution — every href shape a real page carries
+    // (absolute, protocol-relative, root-relative, path-relative with
+    // dot segments, query-only, fragment-only) resolved against a messy
+    // base per RFC 3986 §5.2 and canonicalized, as the native codegen
+    // expression. The oracle replays the absolute canonical URL per
+    // variant.
+    "lk1_outlink_resolve" -> ((s, dir) => {
+      import s.implicits._
+      val rows = documents(s, dir).select(col("doc_id")).as[Long].map { id =>
+        val a = (id % 7).toInt
+        val base = s"HTTPS://WWW.Site$a.Example.COM/dir$a/sub/page.html?x=$id"
+        val ref = (id % 6).toInt match {
+          case 0 => s"https://Other.ORG/abs$a"
+          case 1 => s"//cdn.example.com/c$a.js"
+          case 2 => s"/root$a.css"
+          case 3 => s"img$a.png"
+          case 4 => s"../up$a/f.html"
+          case _ => "?y=2"
+        }
+        (id, base, ref)
+      }.toDF("doc_id", "base", "ref")
+      rows.select(col("doc_id"), col("ref"),
+        WebFunctions.resolve_url(col("base"), col("ref")).as("resolved"))
+        .orderBy("doc_id")
+    }),
+
     // sm1: sitemap parsing — the crawl-frontier source that pairs with
     // robots.txt: both <urlset> and <sitemapindex> documents, with
     // loc/lastmod/priority fields, ampersand references in locs
@@ -2036,6 +2082,58 @@ object SparkEntry {
         "WHEN 3 THEN 'deflated doc ' || CAST(doc_id AS VARCHAR) " +
         "ELSE '<meta charset=iso-8859-1>chunked+gzip doc ' || CAST(doc_id AS VARCHAR) " +
         "END AS body_text FROM d ORDER BY 1"),
+    // PageRank replay: the full three-iteration fixed-point recurrence
+    // unrolled in SQL — every truncating division replayed with //
+    // (floor = trunc on these nonnegative values). Bit-exact because
+    // the Spark side is integer arithmetic; a float PageRank could
+    // never hash-match across engines.
+    "pr1_pagerank" ->
+      ("WITH nn AS (SELECT count(*) AS n FROM documents), " +
+        "nodes AS (SELECT doc_id AS node FROM documents), " +
+        "edges AS (" +
+        "SELECT doc_id AS src, (doc_id*7) % (SELECT n FROM nn) AS dst FROM documents " +
+        "UNION ALL SELECT doc_id, (doc_id*13+1) % (SELECT n FROM nn) FROM documents " +
+        "UNION ALL SELECT doc_id, (doc_id*31+2) % (SELECT n FROM nn) FROM documents " +
+        "UNION ALL SELECT doc_id, (doc_id*101+3) % (SELECT n FROM nn) FROM documents), " +
+        "deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src), " +
+        "c AS (SELECT (1099511627776 // (SELECT n FROM nn)) AS r0v, " +
+        "((1099511627776 // (SELECT n FROM nn)) * 15) // 100 AS base), " +
+        "r0 AS (SELECT node, (SELECT r0v FROM c) AS r FROM nodes), " +
+        "m1 AS (SELECT e.dst AS node, SUM(r0.r // deg.d) AS mass FROM edges e " +
+        "JOIN r0 ON e.src = r0.node JOIN deg ON e.src = deg.src GROUP BY e.dst), " +
+        "r1 AS (SELECT nodes.node, (SELECT base FROM c) + (85 * COALESCE(m1.mass, 0)) // 100 AS r " +
+        "FROM nodes LEFT JOIN m1 ON nodes.node = m1.node), " +
+        "m2 AS (SELECT e.dst AS node, SUM(r1.r // deg.d) AS mass FROM edges e " +
+        "JOIN r1 ON e.src = r1.node JOIN deg ON e.src = deg.src GROUP BY e.dst), " +
+        "r2 AS (SELECT nodes.node, (SELECT base FROM c) + (85 * COALESCE(m2.mass, 0)) // 100 AS r " +
+        "FROM nodes LEFT JOIN m2 ON nodes.node = m2.node), " +
+        "m3 AS (SELECT e.dst AS node, SUM(r2.r // deg.d) AS mass FROM edges e " +
+        "JOIN r2 ON e.src = r2.node JOIN deg ON e.src = deg.src GROUP BY e.dst), " +
+        "r3 AS (SELECT nodes.node, (SELECT base FROM c) + (85 * COALESCE(m3.mass, 0)) // 100 AS r " +
+        "FROM nodes LEFT JOIN m3 ON nodes.node = m3.node) " +
+        "SELECT node, CAST(r AS BIGINT) AS rank FROM r3 ORDER BY 1"),
+    // outlink replay: the absolute canonical target per href shape —
+    // host lowercased, dot segments resolved, base query kept only for
+    // the query-only ref
+    "lk1_outlink_resolve" ->
+      ("WITH d AS (SELECT doc_id, CAST(doc_id % 7 AS INT) AS a, " +
+        "CAST(doc_id % 6 AS INT) AS k FROM documents), " +
+        "h AS (SELECT doc_id, a, k, " +
+        "'https://www.site' || CAST(a AS VARCHAR) || '.example.com' AS hostp FROM d) " +
+        "SELECT doc_id, " +
+        "CASE k WHEN 0 THEN 'https://Other.ORG/abs' || CAST(a AS VARCHAR) " +
+        "WHEN 1 THEN '//cdn.example.com/c' || CAST(a AS VARCHAR) || '.js' " +
+        "WHEN 2 THEN '/root' || CAST(a AS VARCHAR) || '.css' " +
+        "WHEN 3 THEN 'img' || CAST(a AS VARCHAR) || '.png' " +
+        "WHEN 4 THEN '../up' || CAST(a AS VARCHAR) || '/f.html' " +
+        "ELSE '?y=2' END AS ref, " +
+        "CASE k WHEN 0 THEN 'https://other.org/abs' || CAST(a AS VARCHAR) " +
+        "WHEN 1 THEN 'https://cdn.example.com/c' || CAST(a AS VARCHAR) || '.js' " +
+        "WHEN 2 THEN hostp || '/root' || CAST(a AS VARCHAR) || '.css' " +
+        "WHEN 3 THEN hostp || '/dir' || CAST(a AS VARCHAR) || '/sub/img' || CAST(a AS VARCHAR) || '.png' " +
+        "WHEN 4 THEN hostp || '/dir' || CAST(a AS VARCHAR) || '/up' || CAST(a AS VARCHAR) || '/f.html' " +
+        "ELSE hostp || '/dir' || CAST(a AS VARCHAR) || '/sub/page.html?y=2' END AS resolved " +
+        "FROM h ORDER BY 1"),
     // sitemap replay: per-entry fields by formula (fixed series + WHERE,
     // not lateral); the urlset locs only match if the parser resolved
     // &amp; back to & and the priority default applied on index entries

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -142,6 +142,53 @@ object Urls {
     val path = removeDotSegments(normalizePct(if (rawPath.isEmpty) "/" else rawPath))
     val q = if (rawQuery.isEmpty) "" else "?" + normalizePct(rawQuery)
     scheme + "://" + host + portOut + path + q
+  }
+
+  /** Does `ref` start with a URI scheme (RFC 3986: a relative path's
+    * first segment cannot contain ':')? Returns the ':' position or -1. */
+  private def refSchemeEnd(ref: String): Int = {
+    if (ref.isEmpty || !Character.isLetter(ref.charAt(0))) return -1
+    var i = 1
+    while (i < ref.length) {
+      val c = ref.charAt(i)
+      if (c == ':') return i
+      if (!(Character.isLetterOrDigit(c) || c == '+' || c == '-' || c == '.')) return -1
+      i += 1
+    }
+    -1
+  }
+
+  /** RFC 3986 §5.2 reference resolution against an absolute base, then
+    * canonicalized — the outlink-harvesting step: every href a page
+    * carries (absolute, protocol-relative, root-relative, path-relative,
+    * query-only, fragment-only) becomes an absolute canonical URL.
+    * "" when the base is unparseable or the resolved target is not
+    * hierarchical (mailto:, javascript: — not crawlable links). */
+  def resolve(base: UTF8String, ref: UTF8String): UTF8String =
+    UTF8String.fromString(resolve(base.toString, ref.toString))
+  def resolve(base: String, ref: String): String = {
+    if (ref.isEmpty || ref.startsWith("#")) return canonicalize(base)
+    if (refSchemeEnd(ref) > 0) return canonicalize(ref)
+    val a = parseAuthority(base)
+    if (a == null) return ""
+    val scheme = base.substring(0, base.indexOf("://")).toLowerCase
+    if (ref.startsWith("//")) return canonicalize(scheme + ":" + ref)
+    val (host, port, ae) = a
+    val authority = host + (if (port >= 0) ":" + port else "")
+    val rest = base.substring(ae)
+    val fi = rest.indexOf('#')
+    val noFrag = if (fi >= 0) rest.substring(0, fi) else rest
+    val qi = noFrag.indexOf('?')
+    val basePath = if (qi >= 0) noFrag.substring(0, qi) else noFrag
+    val bp = if (basePath.isEmpty) "/" else basePath
+    if (ref.startsWith("?"))
+      return canonicalize(scheme + "://" + authority + bp + ref)
+    if (ref.startsWith("/"))
+      return canonicalize(scheme + "://" + authority + ref)
+    // merge (RFC 3986 §5.2.3): base path up to its last '/' + the ref;
+    // canonicalize then resolves the dot segments
+    val merged = bp.substring(0, bp.lastIndexOf('/') + 1) + ref
+    canonicalize(scheme + "://" + authority + merged)
   }
 
   /** Static subset of the public-suffix list — the suffixes the synth
@@ -386,6 +433,17 @@ case class UrlRegisteredDomainExpr(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): UrlRegisteredDomainExpr = copy(c)
 }
 
+/** Outlink resolution (base, ref) -> absolute canonical URL. */
+case class UrlResolveExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(b: Any, r: Any): Any =
+    Urls.resolve(b.asInstanceOf[UTF8String], r.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (b, r) => s"graft.functions.Urls.resolve($b, $r)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): UrlResolveExpr =
+    copy(l, r)
+}
+
 /** robots.txt allow/deny decision (robots, agent, path). */
 case class RobotsAllowedExpr(first: Expression, second: Expression, third: Expression)
   extends TernaryExpression {
@@ -418,6 +476,8 @@ object WebFunctions {
   private def expr(c: Column): Expression = ExpressionUtils.expression(c)
   def html_unescape(c: Column): Column = col(HtmlUnescapeExpr(expr(c)))
   def canonical_url(c: Column): Column = col(UrlCanonicalizeExpr(expr(c)))
+  def resolve_url(base: Column, ref: Column): Column =
+    col(UrlResolveExpr(expr(base), expr(ref)))
   def registered_domain(c: Column): Column = col(UrlRegisteredDomainExpr(expr(c)))
   def robots_allowed(robots: Column, agent: Column, path: Column): Column =
     col(RobotsAllowedExpr(expr(robots), expr(agent), expr(path)))

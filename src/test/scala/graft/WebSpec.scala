@@ -57,6 +57,33 @@ class WebSpec extends AnyFunSuite {
     assert(Urls.urlRegisteredDomain("garbage") == "")
   }
 
+  test("url: RFC 3986 §5.4 reference resolution examples") {
+    val base = "http://a/b/c/d;p?q"
+    def r(ref: String) = Urls.resolve(base, ref)
+    assert(r("g") == "http://a/b/c/g")
+    assert(r("./g") == "http://a/b/c/g")
+    assert(r("g/") == "http://a/b/c/g/")
+    assert(r("/g") == "http://a/g")
+    assert(r("//g") == "http://g/") // canonical form adds the root path
+    assert(r("?y") == "http://a/b/c/d;p?y")
+    assert(r("g?y") == "http://a/b/c/g?y")
+    assert(r("#s") == "http://a/b/c/d;p?q") // fragment dropped by canon
+    assert(r("") == "http://a/b/c/d;p?q")
+    assert(r(";x") == "http://a/b/c/;x")
+    assert(r("g;x") == "http://a/b/c/g;x")
+    assert(r(".") == "http://a/b/c/")
+    assert(r("..") == "http://a/b/")
+    assert(r("../g") == "http://a/b/g")
+    assert(r("../..") == "http://a/")
+    assert(r("../../g") == "http://a/g")
+    assert(r("../../../g") == "http://a/g") // abnormal: clamps at root
+    assert(r("http://x.org/abs") == "http://x.org/abs")
+    assert(r("https://x.org:8443/s") == "https://x.org:8443/s")
+    // non-hierarchical targets are not crawlable links
+    assert(r("mailto:user@example.com") == "")
+    assert(Urls.resolve("not a base", "g") == "")
+  }
+
   // ---- sitemaps ----
 
   test("sitemap: urlset entries with entities, defaults, and malformed blocks") {
