@@ -653,6 +653,44 @@ object SparkEntry {
           sum(size(split(col("text"), " ")).cast("long")).as("sum_tokens"))
         .orderBy("lang")
     }),
+    // pipe4: extraction -> link layer in ONE plan — the rule engine
+    // collects every <a href> into a trailing-dot array (E4 semantics),
+    // the JSON projection explodes it, and each href resolves against
+    // the page's base URL (RFC 3986 §5.2) down to canonical URL +
+    // registered domain. The outlink-harvesting story end to end:
+    // engine fidelity, JSON round-trip, posexplode, native resolution
+    // expressions — every link individually oracled.
+    "pipe4_extract_outlinks" -> ((s, dir) => {
+      import s.implicits._
+      val program = compile(Seq(
+        """{ "s": "a", "data": { "path": "links.", "values": { "h": {"source": "Attribute", "name": "href"} } } }"""))
+      val bc = s.sparkContext.broadcast(program)
+      val input = documents(s, dir).select(col("doc_id")).as[Long].map { id =>
+        val a = (id % 7).toInt
+        val base = s"HTTPS://WWW.Site$a.Example.COM/dir$a/sub/page.html"
+        val html = s"""<html><body><a href="/root$a.css">x</a><p>n</p>""" +
+          s"""<a href="img$a.png">y</a><a href="https://Other.ORG/abs$a">z</a></body></html>"""
+        (id, base, html)
+      }
+      val extracted = input.mapPartitions { it =>
+        val e = new ShadowEngine(bc.value)
+        it.map { case (id, base, h) =>
+          (id, base,
+            e.process(Doc(id.toString, Seq(Span(SpanKinds.Html, h, "", 0)))).data_json)
+        }
+      }.toDF("doc_id", "base", "data_json")
+      extracted
+        .select(col("doc_id"), col("base"),
+          from_json(col("data_json"), "links ARRAY<STRUCT<h: STRING>>",
+            Map.empty[String, String]).as("d"))
+        .select(col("doc_id"), col("base"), posexplode(col("d.links.h")))
+        .select(col("doc_id"), col("pos").cast("int").as("link_idx"),
+          col("col").as("href"),
+          WebFunctions.resolve_url(col("base"), col("col")).as("resolved"))
+        .withColumn("domain", WebFunctions.registered_domain(col("resolved")))
+        .orderBy("doc_id", "link_idx")
+    }),
+
     // q11: per-source distribution stats — EXACT interpolated percentiles
     // (both engines use the standard (n-1)*p linear interpolation). This
     // is the verification path; at 100 TB the serving path is
@@ -2082,6 +2120,23 @@ object SparkEntry {
         "WHEN 3 THEN 'deflated doc ' || CAST(doc_id AS VARCHAR) " +
         "ELSE '<meta charset=iso-8859-1>chunked+gzip doc ' || CAST(doc_id AS VARCHAR) " +
         "END AS body_text FROM d ORDER BY 1"),
+    // outlink-composite replay: three links per doc, each href / resolved
+    // canonical URL / registered domain by formula — green only if the
+    // engine extracted every href in document order AND the resolution
+    // matched RFC 3986
+    "pipe4_extract_outlinks" ->
+      ("WITH d AS (SELECT doc_id, CAST(doc_id % 7 AS INT) AS a FROM documents), " +
+        "h AS (SELECT doc_id, a, " +
+        "'https://www.site' || CAST(a AS VARCHAR) || '.example.com' AS hostp FROM d) " +
+        "SELECT doc_id, CAST(j.j AS INT) AS link_idx, " +
+        "CASE j.j WHEN 0 THEN '/root' || CAST(a AS VARCHAR) || '.css' " +
+        "WHEN 1 THEN 'img' || CAST(a AS VARCHAR) || '.png' " +
+        "ELSE 'https://Other.ORG/abs' || CAST(a AS VARCHAR) END AS href, " +
+        "CASE j.j WHEN 0 THEN hostp || '/root' || CAST(a AS VARCHAR) || '.css' " +
+        "WHEN 1 THEN hostp || '/dir' || CAST(a AS VARCHAR) || '/sub/img' || CAST(a AS VARCHAR) || '.png' " +
+        "ELSE 'https://other.org/abs' || CAST(a AS VARCHAR) END AS resolved, " +
+        "CASE WHEN j.j = 2 THEN 'other.org' ELSE 'example.com' END AS domain " +
+        "FROM h, generate_series(0, 2) AS j(j) ORDER BY 1, 2"),
     // PageRank replay: the full three-iteration fixed-point recurrence
     // unrolled in SQL — every truncating division replayed with //
     // (floor = trunc on these nonnegative values). Bit-exact because
