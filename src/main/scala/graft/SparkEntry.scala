@@ -767,14 +767,15 @@ object SparkEntry {
     "mm1_media_meta" -> ((s, dir) =>
       Multimodal.metaForOracle(Multimodal.mediaTable(documents(s, dir))).orderBy("doc_id")),
     // mm2: media-branch routing on container magic — all four branches
-    // exercised: PDFs (doc_id % 4 = 0, real page-tree /Count = 1 + n % 5)
-    // to the layout branch, JPEGs (% 4 = 1) to the image dimension parse,
-    // WAVs (% 4 = 2) to the AV branch, raw payload bytes (% 4 = 3) to
-    // passthrough
+    // exercised across six formats: PDFs (doc_id % 6 = 0, real page-tree
+    // /Count = 1 + n % 5) to the layout branch, JPEGs (% 6 = 1) and
+    // WebPs (% 6 = 4, lossy VP8 dims) to the image dimension parse,
+    // WAVs (% 6 = 2) and MP3s (% 6 = 5) to the AV branch, raw payload
+    // bytes (% 6 = 3) to passthrough
     "mm2_pdf_layout_route" -> ((s, dir) => {
       val media = Multimodal.synthTable(documents(s, dir)) { (id, payload) =>
         val n = payload.length
-        (id % 4) match {
+        (id % 6) match {
           case 0 =>
             (s"media://$id.pdf", graft.pipeline.MediaCodec.buildPdf(1 + n % 5, payload))
           case 1 =>
@@ -783,8 +784,14 @@ object SparkEntry {
           case 2 =>
             (s"media://$id.wav",
               graft.pipeline.MediaCodec.buildWav(8000 + (n % 8) * 1000, 1 + n % 2, payload))
-          case _ =>
+          case 3 =>
             (s"media://$id.bin", payload)
+          case 4 =>
+            (s"media://$id.webp",
+              graft.pipeline.MediaCodec.buildWebp(0, 16 + n % 64, 16 + n % 48, payload))
+          case _ =>
+            (s"media://$id.mp3",
+              graft.pipeline.MediaCodec.buildMp3(mpeg1 = true, 9, 0, mono = false, payload))
         }
       }
       Multimodal.routeAndParse(media).orderBy("doc_id")
@@ -1871,14 +1878,16 @@ object SparkEntry {
         "FROM (SELECT doc_id, text, lang, source, len(string_split(text, ' ')) AS w FROM documents) " +
         "ORDER BY doc_id"),
     "mm2_pdf_layout_route" ->
-      ("WITH m AS (SELECT doc_id, CAST(doc_id % 4 AS INT) AS f, " +
+      ("WITH m AS (SELECT doc_id, CAST(doc_id % 6 AS INT) AS f, " +
         "octet_length(encode(text)) AS n FROM documents) " +
         "SELECT doc_id, 'media://' || CAST(doc_id AS VARCHAR) || " +
-        "CASE f WHEN 0 THEN '.pdf' WHEN 1 THEN '.jpg' WHEN 2 THEN '.wav' ELSE '.bin' END AS media_ref, " +
-        "CASE f WHEN 0 THEN 'pdf_layout' WHEN 1 THEN 'image' WHEN 2 THEN 'av' ELSE 'passthrough' END AS branch, " +
+        "CASE f WHEN 0 THEN '.pdf' WHEN 1 THEN '.jpg' WHEN 2 THEN '.wav' " +
+        "WHEN 4 THEN '.webp' WHEN 5 THEN '.mp3' ELSE '.bin' END AS media_ref, " +
+        "CASE f WHEN 0 THEN 'pdf_layout' WHEN 1 THEN 'image' WHEN 4 THEN 'image' " +
+        "WHEN 2 THEN 'av' WHEN 5 THEN 'av' ELSE 'passthrough' END AS branch, " +
         "CAST(CASE WHEN f = 0 THEN 1 + n % 5 ELSE 0 END AS INT) AS n_pages, " +
-        "CAST(CASE WHEN f = 1 THEN 16 + n % 64 ELSE 0 END AS INT) AS width, " +
-        "CAST(CASE WHEN f = 1 THEN 16 + n % 48 ELSE 0 END AS INT) AS height " +
+        "CAST(CASE WHEN f = 1 OR f = 4 THEN 16 + n % 64 ELSE 0 END AS INT) AS width, " +
+        "CAST(CASE WHEN f = 1 OR f = 4 THEN 16 + n % 48 ELSE 0 END AS INT) AS height " +
         "FROM m ORDER BY 1"),
     // audio/video replay: WAV duration = data bytes over byte rate
     // (sampleRate * channels * 2 for 16-bit PCM), floor; MP4 duration =

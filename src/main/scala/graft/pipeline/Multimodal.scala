@@ -346,7 +346,9 @@ object Multimodal {
     * anything unrecognized passes through untouched. The format match is
     * EXPLICIT — a new format MediaCodec learns to sniff lands in
     * passthrough until this router is deliberately taught its branch,
-    * never silently in the image branch. All header parsing is real
+    * never silently in the image branch (webp joined the image branch
+    * and mp3 the av branch exactly that way, one round after their
+    * header parsers landed). All header parsing is real
     * (MediaCodec), as are the deep decodes behind each branch (pixelStats
     * for raster images, pdfText/pdfFeaturePrimitives for pdf_layout,
     * avMeta for av); only PDF raster layout remains a stub seam. */
@@ -359,9 +361,10 @@ object Multimodal {
           case Some(info) if info.format == "pdf" =>
             RoutedMeta(r.doc_id, r.media_ref, "pdf_layout", info.nPages, 0, 0)
           case Some(info) if info.format == "png" || info.format == "gif" ||
-              info.format == "jpeg" =>
+              info.format == "jpeg" || info.format == "webp" =>
             RoutedMeta(r.doc_id, r.media_ref, "image", 0, info.width, info.height)
-          case Some(info) if info.format == "wav" || info.format == "mp4" =>
+          case Some(info) if info.format == "wav" || info.format == "mp4" ||
+              info.format == "mp3" =>
             RoutedMeta(r.doc_id, r.media_ref, "av", 0, 0, 0)
           case _ =>
             RoutedMeta(r.doc_id, r.media_ref, "passthrough", 0, 0, 0)

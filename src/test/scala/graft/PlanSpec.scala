@@ -127,4 +127,36 @@ class PlanSpec extends AnyFunSuite {
     // two HashAggregate nodes = partial + final
     assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(1500))
   }
+
+  test("wa1: WARC ingestion is a scan-local explode — no shuffle before the final sort") {
+    // gunzip + WARC/HTTP/charset decode all ride inside one mapPartitions;
+    // the only Exchange allowed is the output orderBy's range partitioning
+    val p = plan("wa1_warc_records")
+    assert(!p.contains("hashpartitioning"), p.take(2000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("url1/rb1/tx8: the fetch scalars are native expressions in the projection") {
+    // native Catalyst expressions (doGenCode static calls), not ScalaUDF —
+    // a UDF node would break the codegen span; the expression name in the
+    // Project proves the native path (the typed synth input keeps the
+    // pre-AQE plan string from printing the WholeStageCodegen wrapper)
+    val exprName = Map(
+      "url1_canonicalize" -> "urlcanonicalizeexpr",
+      "rb1_robots" -> "robotsallowedexpr",
+      "tx8_html_unescape" -> "htmlunescapeexpr")
+    for ((q, e) <- exprName) {
+      val p = plan(q).toLowerCase
+      assert(!p.contains("scalaudf"), s"$q fell out of codegen: ${p.take(800)}")
+      assert(p.contains(e), s"$q does not project the native expression: ${p.take(800)}")
+    }
+  }
+
+  test("pr1: the PageRank iteration joins are keyed — never cartesian/nested-loop") {
+    val p = plan("pr1_pagerank")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    // per-iteration mass aggregation must combine map-side
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(1500))
+  }
 }
