@@ -33,20 +33,6 @@ object Hashing {
     h
   }
 
-  /** Hash of one token-shingle window using incremental mixing. */
-  private def mixShingle(tokens: Array[String], from: Int, w: Int): Long = {
-    var h = 0xcbf29ce484222325L
-    var i = from
-    while (i < from + w) {
-      val t = tokens(i)
-      var j = 0
-      while (j < t.length) { h = h * 1099511628211L + t.charAt(j); j += 1 }
-      h = h * 1099511628211L + ' '
-      i += 1
-    }
-    h
-  }
-
   private def tokenize(s: String): Array[String] = {
     // whitespace tokenization; cheap and deterministic
     val out = new scala.collection.mutable.ArrayBuffer[String](64)
@@ -61,31 +47,81 @@ object Hashing {
     out.toArray
   }
 
+  /** Per-permutation seed table: `splitmix64(j * C)` depends only on j, so
+    * it is loop-invariant across shingles — computed once per JVM instead
+    * of once per (shingle, j), which halves the mixing work per shingle.
+    * Values are IDENTICAL to the inline computation they replace. */
+  @volatile private var seedCache: Array[Long] = new Array[Long](0)
+  private def permSeeds(k: Int): Array[Long] = {
+    var sc = seedCache
+    if (sc.length < k) synchronized {
+      sc = seedCache
+      if (sc.length < k) {
+        sc = Array.tabulate(k)(j => splitmix64(j.toLong * 0x2545F4914F6CDD1DL))
+        seedCache = sc
+      }
+    }
+    sc
+  }
+
   /** MinHash signature over w-token shingles: k independent permutations
     * via (a*x+b) mixing with splitmix64-derived coefficients. Row-local —
     * at cluster scale this runs inside the scan projection with NO shuffle;
-    * only the later band-bucket join shuffles. */
+    * only the later band-bucket join shuffles.
+    *
+    * Implementation: token BOUNDARIES are scanned in place (no substring
+    * allocation per token) and each window is hashed directly from the
+    * source chars — char-for-char the same sequence as hashing the
+    * materialized tokens joined by ' ', so signatures are bit-identical to
+    * the previous substring-based path. */
   def minhash(s: UTF8String, k: Int, w: Int): Array[Long] = minhash(s.toString, k, w)
   def minhash(s: String, k: Int, w: Int): Array[Long] = {
-    val toks = tokenize(s)
+    val seeds = permSeeds(k)
+    val n = s.length
+    // token boundary scan (starts/ends index pairs, no substrings)
+    var nTok = 0
+    var starts = new Array[Int](64)
+    var ends = new Array[Int](64)
+    var p = 0
+    while (p < n) {
+      while (p < n && s.charAt(p) == ' ') p += 1
+      val st = p
+      while (p < n && s.charAt(p) != ' ') p += 1
+      if (p > st) {
+        if (nTok == starts.length) {
+          starts = java.util.Arrays.copyOf(starts, nTok * 2)
+          ends = java.util.Arrays.copyOf(ends, nTok * 2)
+        }
+        starts(nTok) = st; ends(nTok) = p; nTok += 1
+      }
+    }
     val sig = Array.fill(k)(Long.MaxValue)
-    if (toks.length < w) {
+    if (nTok < w) {
       // short doc: single shingle over the whole text
       val h = fingerprint(s)
       var j = 0
       while (j < k) {
-        val v = splitmix64(h ^ splitmix64(j.toLong * 0x2545F4914F6CDD1DL))
+        val v = splitmix64(h ^ seeds(j))
         if (v < sig(j)) sig(j) = v
         j += 1
       }
       return sig
     }
     var i = 0
-    while (i + w <= toks.length) {
-      val h = mixShingle(toks, i, w)
+    while (i + w <= nTok) {
+      // hash of tokens [i, i+w): chars + ' ' after each token
+      var h = 0xcbf29ce484222325L
+      var t = i
+      while (t < i + w) {
+        var c = starts(t)
+        val e = ends(t)
+        while (c < e) { h = h * 1099511628211L + s.charAt(c); c += 1 }
+        h = h * 1099511628211L + ' '
+        t += 1
+      }
       var j = 0
       while (j < k) {
-        val v = splitmix64(h ^ splitmix64(j.toLong * 0x2545F4914F6CDD1DL))
+        val v = splitmix64(h ^ seeds(j))
         if (v < sig(j)) sig(j) = v
         j += 1
       }

@@ -232,21 +232,27 @@ object Dedup {
     * Scale: shingle explode shuffles token-level data — this exact variant
     * is the verification path; the scale path is minhashCandidates. */
   def ngramJaccardConsecutive(docs: DataFrame, w: Int = 3): DataFrame = {
+    // array-level join instead of shingle explode: each doc keeps ONE row
+    // carrying its distinct-shingle ARRAY, consecutive ids join directly,
+    // and |A∩B| is a row-local array_intersect — this removes the
+    // shingle-row explode (token-level shuffle), the per-shingle re-split
+    // filter, the count aggregation and the three-way join of the old
+    // shape; shuffle volume is the same text bytes but in |docs| rows
+    // instead of |shingles| rows, and the plan is 2 shuffles (join sides)
+    // instead of 4. Values are identical: array_intersect over
+    // already-distinct arrays counts exactly the matched distinct
+    // shingles the explode-join counted.
     val toks = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
       .where(size(col("t")) >= w) // sequence(0, negative) would descend
-    val shingles = toks.select(col("doc_id"),
-      explode(expr(s"array_distinct(transform(sequence(0, size(t)-$w), i -> concat_ws(' ', slice(t, i+1, $w))))")).as("sh"))
-      .where(size(split(col("sh"), " ")) === w)
-    val counts = shingles.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val a = shingles.as("a"); val b = shingles.as("b")
-    val inter = a.join(b, col("b.doc_id") === col("a.doc_id") + 1 && col("a.sh") === col("b.sh"))
-      .groupBy(col("a.doc_id").as("doc_id")).agg(count(lit(1)).as("inter"))
-    val ca = counts.as("ca"); val cb = counts.as("cb")
-    ca.join(cb, col("cb.doc_id") === col("ca.doc_id") + 1)
-      .join(inter, inter("doc_id") === col("ca.doc_id"), "left")
-      .select(col("ca.doc_id").as("doc_id"),
-        coalesce(col("inter"), lit(0L)).as("inter"),
-        (col("ca.n_sh") + col("cb.n_sh") - coalesce(col("inter"), lit(0L))).as("uni"))
+    val sh = toks.select(col("doc_id"),
+      expr(s"array_distinct(transform(sequence(0, size(t)-$w), i -> concat_ws(' ', slice(t, i+1, $w))))").as("sh"))
+    val a = sh.as("a"); val b = sh.as("b")
+    a.join(b, col("b.doc_id") === col("a.doc_id") + 1)
+      .select(col("a.doc_id").as("doc_id"),
+        size(col("a.sh")).as("na"), size(col("b.sh")).as("nb"),
+        size(array_intersect(col("a.sh"), col("b.sh"))).as("ni"))
+      .select(col("doc_id"), col("ni").cast("long").as("inter"),
+        (col("na").cast("long") + col("nb") - col("ni")).as("uni"))
   }
 
   /** Line-level dedup (the C4 / CCNet pre-training cleanup step): split each
@@ -267,11 +273,15 @@ object Dedup {
     * kept lines back to the doc agg) — inherent to C4 semantics, which
     * need every line's first-occurrence decision and the line text back. */
   def lineDedup(docs: DataFrame, w: Int = 4): DataFrame = {
-    val lines = docs.select(col("doc_id"),
-      posexplode_outer(expr(
-        s"transform(sequence(0, cast(ceil(size(split(text, ' ')) / cast($w as double)) as int) - 1), " +
-          s"i -> concat_ws(' ', slice(split(text, ' '), i * $w + 1, $w)))"))
-        .as(Seq("line_idx", "line")))
+    // token array projected once per row (HOF lambdas re-evaluate their
+    // subtree per element — the inline split(text) cost O(lines) splits
+    // per row; see decontaminate)
+    val lines = docs.select(col("doc_id"), split(col("text"), " ").as("__t"))
+      .select(col("doc_id"),
+        posexplode_outer(expr(
+          s"transform(sequence(0, cast(ceil(size(__t) / cast($w as double)) as int) - 1), " +
+            s"i -> concat_ws(' ', slice(__t, i * $w + 1, $w)))"))
+          .as(Seq("line_idx", "line")))
       .where(col("line").isNotNull)
     val wFirst = Window.partitionBy(col("line"))
     val marked = lines
@@ -295,12 +305,24 @@ object Dedup {
     * is a scan-local shingle explode + broadcast hash join, NO shuffle of
     * corpus data; only the matched rows (rare) reach the count aggregate. */
   def decontaminate(docs: DataFrame, bench: DataFrame, w: Int = 4): DataFrame = {
+    // the token array is projected ONCE per row before the shingle
+    // transform: higher-order-function lambdas re-evaluate their subtree
+    // per element, so the old inline `split(text)` inside the lambda cost
+    // O(shingles) splits per row; and the generator is the OUTER variant
+    // so the optimizer cannot infer a `size(...) > 0` pre-filter that
+    // would recompute the whole shingle array a second time per row (the
+    // arrays are never empty under the >= w filter, so outer + null
+    // post-filter emits identical rows). The old per-shingle
+    // `size(split(sh)) === w` post-filter was a tautology — a shingle is
+    // w tokens joined by ' ' and tokens cannot contain ' ' — and cost one
+    // split per shingle row; removed.
     def shingles(df: DataFrame): DataFrame = df
-      .where(size(split(col("text"), " ")) >= w) // sequence(0, neg) descends
+      .select(col("doc_id"), split(col("text"), " ").as("__t"))
+      .where(size(col("__t")) >= w) // sequence(0, neg) descends
       .select(col("doc_id"),
-        explode(expr(s"array_distinct(transform(sequence(0, size(split(text, ' ')) - $w), " +
-          s"i -> concat_ws(' ', slice(split(text, ' '), i + 1, $w))))")).as("sh"))
-      .where(size(split(col("sh"), " ")) === w)
+        explode_outer(expr(s"array_distinct(transform(sequence(0, size(__t) - $w), " +
+          s"i -> concat_ws(' ', slice(__t, i + 1, $w))))")).as("sh"))
+      .where(col("sh").isNotNull)
     val bsh = shingles(bench).select(col("sh")).distinct()
     shingles(docs).join(broadcast(bsh), "sh")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contaminated"))
@@ -334,12 +356,13 @@ object Dedup {
     * dd5 path; the O(n^2) exact join is the sampled recall baseline). */
   def embeddingNearDupLshQ(emb: DataFrame, planes: Int = 8, seed: Long = 42L,
                            num: Long = 4L, den: Long = 25L): DataFrame = {
+    import graft.functions.VecFunctions.{qdot_pair, quantize_vec}
     val b = emb.select(col("vec_id"),
-      expr("transform(embedding, x -> cast(round(x*1000) as bigint))").as("qv"),
+      quantize_vec(col("embedding")).as("qv"),
       cos_lsh_bucket(col("embedding"), planes, seed).as("bucket"))
-      .withColumn("qn2", expr("aggregate(qv, 0L, (a,v) -> a + v*v)"))
+      .withColumn("qn2", qdot_pair(col("qv"), col("qv")))
     val x = b.as("x"); val y = b.as("y")
-    val qdot = expr("aggregate(zip_with(x.qv, y.qv, (p,q) -> p*q), 0L, (a,v) -> a+v)")
+    val qdot = qdot_pair(col("x.qv"), col("y.qv"))
     val dec = DecimalType(20, 0)
     x.join(y, col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("id1"), col("y.vec_id").as("id2"),
@@ -379,20 +402,18 @@ object Dedup {
 
 object Ann {
 
-  private def dotCol(a: String, b: String): Column =
-    expr(s"aggregate(zip_with($a, $b, (p,q) -> cast(p as double)*cast(q as double)), 0D, (acc,v) -> acc+v)")
-
   /** Brute-force cosine top-k against one query vector (baseline / recall
     * oracle). The query vector is a literal broadcast into the scan
     * projection — single pass, no shuffle except the global top-k, which
     * Spark executes as per-partition TakeOrdered + driver merge of k rows. */
   def bruteForceTopK(emb: DataFrame, queryVec: Array[Float], k: Int): DataFrame = {
-    val q = typedLit(queryVec)
-    val dot = dotCol("embedding", "qv")
-    val nx = expr("sqrt(aggregate(embedding, 0D, (acc,v) -> acc + cast(v as double)*cast(v as double)))")
+    // native dot/norm expressions (same left-to-right double folds the old
+    // aggregate(zip_with(...)) lambdas computed, one codegen call per row)
+    import graft.functions.VecFunctions.{dot_double_lit, norm2_double}
+    val dot = dot_double_lit(col("embedding"), queryVec)
+    val nx = sqrt(norm2_double(col("embedding")))
     val nq = math.sqrt(queryVec.map(x => x.toDouble * x.toDouble).sum)
-    emb.withColumn("qv", q)
-      .select(col("vec_id"), (dot / (nx * lit(nq))).as("score"))
+    emb.select(col("vec_id"), (dot / (nx * lit(nq))).as("score"))
       .orderBy(col("score").desc, col("vec_id"))
       .limit(k)
   }
@@ -415,10 +436,11 @@ object Ann {
   /** Integer-quantized dot-product top-k (deterministic across engines:
     * values are exact integers, so DuckDB can oracle it). */
   def quantizedTopK(emb: DataFrame, queryVec: Array[Float], k: Int): DataFrame = {
-    val q = typedLit(quantizeViaSql(emb, queryVec))
-    val dot = expr("aggregate(zip_with(embedding, qv, (p,q) -> cast(round(p*1000) as bigint)*q), 0L, (acc,v) -> acc+v)")
-    emb.withColumn("qv", q)
-      .select(col("vec_id"), dot.as("qdot"))
+    // fused native quantize+dot (replicates cast(round(p*1000) as
+    // bigint)*q per element, Long-wrap left-to-right fold — see VecOps)
+    import graft.functions.VecFunctions.quantize_dot_lit
+    emb.select(col("vec_id"),
+        quantize_dot_lit(col("embedding"), quantizeViaSql(emb, queryVec)).as("qdot"))
       .orderBy(col("qdot").desc, col("vec_id"))
       .limit(k)
   }
@@ -487,6 +509,7 @@ object Ann {
   def ivfTopK(emb: DataFrame, queryVec: Array[Float], k: Int,
               cells: Int = 8, nprobe: Int = 2,
               iters: Int = 2, sampleN: Int = 64): DataFrame = {
+    import graft.functions.VecFunctions.{ivf_cell, qdot_lit, quantize_vec}
     val cents: Array[Array[Long]] = trainCentroids(emb, cells, iters, sampleN)
     val cn2: Array[Long] = cents.map(c => c.map(v => v * v).sum)
     val qv: Array[Long] = quantizeViaSql(emb, queryVec)
@@ -495,31 +518,15 @@ object Ann {
     val probes: Seq[Int] = cents.indices
       .sortBy(i => (cn2(i) - 2L * qdotWith(cents(i)), i)).take(nprobe)
 
-    // ONE projection computes all cell distances — the centroid literals
-    // are folded directly into each aggregate expression (no per-centroid
-    // withColumn pass, no literal array columns riding along in the row)
-    def qdotCent(c: Array[Long]): Column =
-      aggregate(zip_with(col("qv"), typedLit(c), (p, q) => p * q),
-        lit(0L), (a, v) => a + v)
-    val dcols = cents.indices.map { i =>
-      (qdotCent(cents(i)) * lit(-2L) + lit(cn2(i))).as(s"d$i")
-    }
-    val df = emb.select(col("vec_id"),
-        expr("transform(embedding, x -> cast(round(x*1000) as bigint))").as("qv"))
-      .select(col("vec_id") +: col("qv") +: dcols: _*)
-    // first-min argmin: cell i wins iff d_i <= every later d_j and no
-    // earlier index won (matches the oracle's ORDER BY dist, cell LIMIT 1)
-    def leAll(i: Int): Column =
-      (i + 1 until cents.length).map(j => col(s"d$i") <= col(s"d$j"))
-        .reduceOption(_ && _).getOrElse(lit(true))
-    val cellCol = cents.indices.init.foldRight(lit(cents.length - 1): Column) {
-      (i, rest) => when(leAll(i), lit(i)).otherwise(rest)
-    }
-    df.withColumn("cell", cellCol)
+    // ONE native expression computes the first-min argmin cell (same
+    // d_c = |c|^2 - 2*dot distances and tie-break the old d0..dN
+    // when-chain encoded, without 8 interpreted aggregate columns), and
+    // the probe-survivors' ranking dot is a second native call — the old
+    // plan's per-element lambda interpretation is gone end to end.
+    emb.select(col("vec_id"), quantize_vec(col("embedding")).as("qv"))
+      .withColumn("cell", ivf_cell(col("qv"), cents))
       .where(col("cell").isin(probes.map(Integer.valueOf): _*))
-      .withColumn("qq", typedLit(qv))
-      .select(col("vec_id"),
-        expr("aggregate(zip_with(qv, qq, (p,q) -> p*q), 0L, (a,v) -> a+v)").as("qdot"))
+      .select(col("vec_id"), qdot_lit(col("qv"), qv).as("qdot"))
       .orderBy(col("qdot").desc, col("vec_id"))
       .limit(k)
   }
@@ -530,14 +537,13 @@ object Ann {
     * of the table. */
   def lshTopK(emb: DataFrame, queryVec: Array[Float], k: Int,
               planes: Int = 8, probeBits: Int = 1): DataFrame = {
+    import graft.functions.VecFunctions.{dot_double_lit, norm2_double}
     val qBucket = graft.functions.Hashing.cosLshBucket(queryVec, planes, 42L)
     val probes: Seq[Long] = qBucket +: (if (probeBits >= 1) (0 until planes).map(b => qBucket ^ (1L << b)) else Seq.empty)
-    val q = typedLit(queryVec)
-    val dot = expr("aggregate(zip_with(embedding, qv, (p,q) -> cast(p as double)*cast(q as double)), 0D, (acc,v) -> acc+v)")
-    val nx = expr("sqrt(aggregate(embedding, 0D, (acc,v) -> acc + cast(v as double)*cast(v as double)))")
+    val dot = dot_double_lit(col("embedding"), queryVec)
+    val nx = sqrt(norm2_double(col("embedding")))
     val nq = math.sqrt(queryVec.map(x => x.toDouble * x.toDouble).sum)
     emb.where(cos_lsh_bucket(col("embedding"), planes, 42L).isin(probes.map(java.lang.Long.valueOf): _*))
-      .withColumn("qv", q)
       .select(col("vec_id"), (dot / (nx * lit(nq))).as("score"))
       .orderBy(col("score").desc, col("vec_id"))
       .limit(k)
@@ -596,13 +602,16 @@ object TextStats {
     * total vs distinct w-token shingles per doc — high duplicate fraction
     * marks boilerplate/spam. Integer counts, scan-local, no shuffle. */
   def repetition(docs: DataFrame, w: Int = 3): DataFrame = {
-    val t = split(col("text"), " ")
+    // token array projected once per row (HOF lambdas re-evaluate their
+    // subtree per element — the inline split(text) cost O(shingles)
+    // splits per row; see Dedup.decontaminate)
     val shingles = expr(
-      s"transform(sequence(0, size(split(text, ' ')) - $w), i -> concat_ws(' ', slice(split(text, ' '), i + 1, $w)))")
-    docs.select(
-      col("doc_id"),
-      when(size(t) >= w, size(t) - w + 1).otherwise(0).cast("int").as("n_shingles"),
-      when(size(t) >= w, size(array_distinct(shingles))).otherwise(0).cast("int").as("n_distinct"))
+      s"transform(sequence(0, size(__t) - $w), i -> concat_ws(' ', slice(__t, i + 1, $w)))")
+    docs.select(col("doc_id"), split(col("text"), " ").as("__t"))
+      .select(
+        col("doc_id"),
+        when(size(col("__t")) >= w, size(col("__t")) - w + 1).otherwise(0).cast("int").as("n_shingles"),
+        when(size(col("__t")) >= w, size(array_distinct(shingles))).otherwise(0).cast("int").as("n_distinct"))
       .withColumn("n_dup", (col("n_shingles") - col("n_distinct")).cast("int"))
   }
 
