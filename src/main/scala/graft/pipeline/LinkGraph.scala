@@ -47,8 +47,14 @@ object LinkGraph {
     require(n > 0, "pagerankFixedPoint: empty node set")
     val r0 = RankScale / n
     val base = r0 * 15 / 100 // teleport term (1-d) * uniform, d = 85/100
+    // the outdegree join IS loop-invariant: persist it so every iteration
+    // reuses the materialized table instead of re-running the edge scan +
+    // degree aggregation + join per power step (at scale: an explicit
+    // materialization of the degree-annotated edge table serves the same
+    // purpose; exchange reuse alone is an AQE accident, not a guarantee)
     val edgesWithDeg = edges.join(
       edges.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var ranks = nodes.select(col("node"), lit(r0).as("rank"))
     var i = 0
     while (i < iters) {
@@ -59,6 +65,15 @@ object LinkGraph {
         .select(col("node"),
           (lit(base) + expr("(85 * coalesce(in_mass, 0L)) div 100")).as("rank"))
       i += 1
+      // deep-iteration lineage guard, same discipline as
+      // Dedup.connectedComponents: a reliable checkpoint every 5 power
+      // steps keeps the plan depth bounded at iters up to the allowed 64
+      // (never fires at the shallow iteration counts the bench queries
+      // use; ranks are 2 longs/node, so the write is metadata-scale)
+      if (i % 5 == 0 && i < iters) {
+        Dedup.ensureCheckpointDir(ranks.sparkSession)
+        ranks = ranks.checkpoint(true)
+      }
     }
     ranks
   }

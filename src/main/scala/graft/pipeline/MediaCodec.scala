@@ -740,16 +740,7 @@ object MediaCodec {
       val t = prev; prev = cur; cur = t
       r += 1
     }
-    val deflater = new java.util.zip.Deflater(6)
-    deflater.setInput(raw); deflater.finish()
-    val zout = new ByteArrayOutputStream(raw.length / 2 + 64)
-    val buf = new Array[Byte](8192)
-    while (!deflater.finished()) {
-      val k = deflater.deflate(buf)
-      zout.write(buf, 0, k)
-    }
-    deflater.end()
-    buildPng(w, h, zout.toByteArray)
+    buildPng(w, h, Zlib.deflate6(raw))
   }
 
   private def paeth(a: Int, b: Int, c: Int): Int = {
@@ -817,16 +808,7 @@ object MediaCodec {
       }
       p += 1
     }
-    val deflater = new java.util.zip.Deflater(6)
-    deflater.setInput(raw.toByteArray); deflater.finish()
-    val zout = new ByteArrayOutputStream(raw.size() / 2 + 64)
-    val buf = new Array[Byte](8192)
-    while (!deflater.finished()) {
-      val k = deflater.deflate(buf)
-      zout.write(buf, 0, k)
-    }
-    deflater.end()
-    buildPng(w, h, zout.toByteArray, interlace = 1)
+    buildPng(w, h, Zlib.deflate6(raw.toByteArray), interlace = 1)
   }
 
   /** Inflate + unfilter a truecolor 8-bit PNG's pixel data; returns the
@@ -868,20 +850,25 @@ object MediaCodec {
           i += 12 + len.toInt
         }
         if (z.size() == 0) return None
-        val inflater = new java.util.zip.Inflater()
-        inflater.setInput(z.toByteArray)
         val raw = new Array[Byte](rawLen.toInt)
-        try {
-          var off = 0
-          while (off < raw.length && !inflater.finished()) {
-            val k = inflater.inflate(raw, off, raw.length - off)
-            if (k == 0 && inflater.needsInput()) return None // truncated stream
-            off += k
+        // reused thread-local inflater (one native zlib state per task
+        // thread instead of per image; reset() == fresh instance)
+        val okInflate = Zlib.withInflater(nowrap = false) { inflater =>
+          inflater.setInput(z.toByteArray)
+          try {
+            var off = 0
+            var ok = true
+            while (ok && off < raw.length && !inflater.finished()) {
+              val k = inflater.inflate(raw, off, raw.length - off)
+              if (k == 0 && inflater.needsInput()) ok = false // truncated stream
+              else off += k
+            }
+            ok && off == raw.length // false = wrong decompressed size
+          } catch {
+            case _: java.util.zip.DataFormatException => false
           }
-          if (off != raw.length) return None // wrong decompressed size
-        } catch {
-          case _: java.util.zip.DataFormatException => return None
-        } finally inflater.end()
+        }
+        if (!okInflate) return None
         // reverse the per-scanline filter in place (ISO/IEC 15948 §9.2)
         val out = new Array[Byte](w * h * PngBpp)
         if (interlaced) {
@@ -1447,14 +1434,7 @@ object MediaCodec {
   /** Encode one PDF stream filter step (the synthesis twin of the
     * decoders in [[applyPdfFilters]]). */
   private[graft] def pdfFilterEncode(d: Array[Byte], f: String): Array[Byte] = f match {
-    case "FlateDecode" =>
-      val deflater = new java.util.zip.Deflater(6)
-      deflater.setInput(d); deflater.finish()
-      val zout = new ByteArrayOutputStream(d.length / 2 + 64)
-      val buf = new Array[Byte](8192)
-      while (!deflater.finished()) zout.write(buf, 0, deflater.deflate(buf))
-      deflater.end()
-      zout.toByteArray
+    case "FlateDecode" => Zlib.deflate6(d)
     case "ASCIIHexDecode" =>
       val hex = "0123456789abcdef"
       val o = new ByteArrayOutputStream(d.length * 2 + 1)
@@ -2063,21 +2043,25 @@ object MediaCodec {
   }
 
   private def inflateAll(z: Array[Byte], cap: Int): Option[Array[Byte]] = {
-    val inflater = new java.util.zip.Inflater()
-    inflater.setInput(z)
-    val out = new ByteArrayOutputStream(math.min(cap, z.length * 4 + 64))
-    val buf = new Array[Byte](8192)
-    try {
-      while (!inflater.finished()) {
-        val k = inflater.inflate(buf)
-        if (k == 0 && inflater.needsInput()) return None // truncated
-        out.write(buf, 0, k)
-        if (out.size() > cap) return None // zip-bomb guard
+    Zlib.withInflater(nowrap = false) { inflater =>
+      inflater.setInput(z)
+      val out = new ByteArrayOutputStream(math.min(cap, z.length * 4 + 64))
+      val buf = new Array[Byte](8192)
+      try {
+        var ok = true
+        while (ok && !inflater.finished()) {
+          val k = inflater.inflate(buf)
+          if (k == 0 && inflater.needsInput()) ok = false // truncated
+          else {
+            out.write(buf, 0, k)
+            if (out.size() > cap) ok = false // zip-bomb guard
+          }
+        }
+        if (ok) Some(out.toByteArray) else None
+      } catch {
+        case _: java.util.zip.DataFormatException => None
       }
-      Some(out.toByteArray)
-    } catch {
-      case _: java.util.zip.DataFormatException => None
-    } finally inflater.end()
+    }
   }
 
   /** Content-stream show-op tokenizer: collects literal strings and

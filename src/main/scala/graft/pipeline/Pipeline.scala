@@ -34,6 +34,31 @@ object Dedup {
     dir
   }
 
+  /** Ensure a reliable checkpoint dir is set (shared by the iterative
+    * operators: connectedComponents, LinkGraph.pagerankFixedPoint). Only
+    * defaults to a driver-local temp dir in LOCAL mode; on a real cluster
+    * a machine-private /tmp would be unreadable by the other executors —
+    * exactly the failure reliable checkpoints exist to avoid — so demand
+    * an explicit shared-storage dir instead of guessing. Checkpoint files
+    * live for the app's lifetime (clean via storage lifecycle policy, or
+    * spark.cleaner.referenceTracking.cleanCheckpoints at session build). */
+  private[pipeline] def ensureCheckpointDir(spark: org.apache.spark.sql.SparkSession): Unit =
+    if (spark.sparkContext.getCheckpointDir.isEmpty) {
+      if (spark.sparkContext.isLocal) {
+        // the dir this helper creates is its own to clean: delete the
+        // whole tree at JVM exit so repeated local runs/tests don't leak
+        // per-iteration checkpoint files under /tmp (a cluster deployment
+        // sets an explicit dir and owns its lifecycle policy instead).
+        // ONE lazily-created dir + ONE shutdown hook per JVM — repeated
+        // calls in a long-lived JVM (test suites, notebooks) reuse it
+        // instead of accumulating hooks and temp dirs per invocation.
+        spark.sparkContext.setCheckpointDir(localCkptDir.toString)
+      }
+      else throw new IllegalStateException(
+        "iterative graph operators need a reliable checkpoint dir on SHARED storage: " +
+          "call sparkContext.setCheckpointDir(<hdfs/s3 path>) before running on a cluster")
+    }
+
   /** Exact dedup: keep the lowest doc_id per identical text.
     * Scale: hash-aggregate on xxhash64(text) — one shuffle on the hash
     * (map-side partial agg), never on the full text bytes. */
@@ -171,36 +196,18 @@ object Dedup {
     // session) and the label table is tiny (2 longs/doc), so the per-
     // iteration write is cheap relative to the join it anchors.
     val spark = pairs.sparkSession
-    if (spark.sparkContext.getCheckpointDir.isEmpty) {
-      // only default to a driver-local temp dir in LOCAL mode; on a real
-      // cluster a machine-private /tmp would be unreadable by the other
-      // executors — exactly the failure this operator exists to avoid —
-      // so demand an explicit shared-storage dir instead of guessing.
-      // Checkpoint files live for the app's lifetime (clean via storage
-      // lifecycle policy, or spark.cleaner.referenceTracking
-      // .cleanCheckpoints at session build).
-      if (spark.sparkContext.isLocal) {
-        // the dir this operator creates is its own to clean: delete the
-        // whole tree at JVM exit so repeated local runs/tests don't leak
-        // per-iteration checkpoint files under /tmp (a cluster deployment
-        // sets an explicit dir and owns its lifecycle policy instead).
-        // ONE lazily-created dir + ONE shutdown hook per JVM — repeated
-        // calls in a long-lived JVM (test suites, notebooks) reuse it
-        // instead of accumulating hooks and temp dirs per invocation.
-        spark.sparkContext.setCheckpointDir(localCkptDir.toString)
-      }
-      else throw new IllegalStateException(
-        "connectedComponents needs a reliable checkpoint dir on SHARED storage: " +
-          "call sparkContext.setCheckpointDir(<hdfs/s3 path>) before running on a cluster")
-    }
+    ensureCheckpointDir(spark)
     // materialize the edge list once (checkpoint cuts the lineage so the
     // sketch pipeline upstream is never recomputed per iteration)
     val edges = pairs.select(col("id1").as("a"), col("id2").as("b"))
       .union(pairs.select(col("id2").as("a"), col("id1").as("b")))
       .distinct()
       .checkpoint(true)
+    // the initial label table (node -> itself) is NOT checkpointed: its
+    // lineage is just the node list, iteration 1's eager checkpoint cuts
+    // it anyway, and the old eager materialization cost one extra job +
+    // write per invocation for nothing
     var labels = nodes.select(col("doc_id"), col("doc_id").as("component"))
-      .checkpoint(true)
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {

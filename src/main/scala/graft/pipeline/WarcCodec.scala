@@ -1,7 +1,7 @@
 package graft.pipeline
 
 import java.nio.charset.{Charset, CodingErrorAction, StandardCharsets}
-import java.util.zip.{CRC32, Deflater, Inflater}
+import java.util.zip.CRC32
 
 /** WARC / gzip / HTTP / charset codec pair — the FRONT DOOR of a crawl
   * pipeline: Common Crawl style `.warc.gz` files are concatenated
@@ -45,15 +45,9 @@ object WarcCodec {
     fname.foreach { n =>
       out.write(n.getBytes(StandardCharsets.ISO_8859_1)); out.write(0)
     }
-    val def_ = new Deflater(Deflater.DEFAULT_COMPRESSION, true)
-    try {
-      def_.setInput(payload); def_.finish()
-      val buf = new Array[Byte](8192)
-      while (!def_.finished()) {
-        val n = def_.deflate(buf)
-        out.write(buf, 0, n)
-      }
-    } finally def_.end()
+    // reused thread-local deflater (identical bytes; no per-call native
+    // zlib-state alloc/free — this runs once per synthesized row)
+    out.write(Zlib.deflateDefault(payload, nowrap = true))
     val crc = new CRC32(); crc.update(payload)
     writeLe32(out, crc.getValue)
     writeLe32(out, payload.length.toLong & 0xffffffffL)
@@ -107,30 +101,41 @@ object WarcCodec {
         p += 2
         if (p > bytes.length) return None
       }
-      val inf = new Inflater(true)
-      val out = new java.io.ByteArrayOutputStream(8192)
-      try {
-        inf.setInput(bytes, p, bytes.length - p)
-        val buf = new Array[Byte](8192)
-        while (!inf.finished()) {
-          val n =
-            try inf.inflate(buf)
-            catch { case _: java.util.zip.DataFormatException => return None }
-          if (n == 0 && !inf.finished()) return None // truncated stream
-          total += n
-          if (total > maxTotal) return None
-          out.write(buf, 0, n)
+      // reused thread-local inflater: a .warc.gz is one member per RECORD,
+      // so the old per-member `new Inflater` paid a native alloc/free per
+      // record; reset() state is identical to a fresh instance
+      val inflated: Option[(Array[Byte], Int)] =
+        Zlib.withInflater(nowrap = true) { inf =>
+          inf.setInput(bytes, p, bytes.length - p)
+          val out = new java.io.ByteArrayOutputStream(8192)
+          val buf = new Array[Byte](8192)
+          var ok = true
+          while (ok && !inf.finished()) {
+            val n =
+              try inf.inflate(buf)
+              catch { case _: java.util.zip.DataFormatException => ok = false; 0 }
+            if (ok) {
+              if (n == 0 && !inf.finished()) ok = false // truncated stream
+              else {
+                total += n
+                if (total > maxTotal) ok = false
+                else out.write(buf, 0, n)
+              }
+            }
+          }
+          if (ok) Some((out.toByteArray, inf.getBytesRead.toInt)) else None
         }
-        val consumed = inf.getBytesRead.toInt
-        val trailer = p + consumed
-        if (trailer + 8 > bytes.length) return None
-        val data = out.toByteArray
-        val crc = new CRC32(); crc.update(data)
-        if (readLe32(bytes, trailer) != crc.getValue) return None
-        if (readLe32(bytes, trailer + 4) != (data.length.toLong & 0xffffffffL)) return None
-        members += data
-        pos = trailer + 8
-      } finally inf.end()
+      inflated match {
+        case None => return None
+        case Some((data, consumed)) =>
+          val trailer = p + consumed
+          if (trailer + 8 > bytes.length) return None
+          val crc = new CRC32(); crc.update(data)
+          if (readLe32(bytes, trailer) != crc.getValue) return None
+          if (readLe32(bytes, trailer + 4) != (data.length.toLong & 0xffffffffL)) return None
+          members += data
+          pos = trailer + 8
+      }
     }
     Some(members.result())
   }
@@ -367,25 +372,28 @@ object WarcCodec {
     * (a long-standing interop quirk). Bounded like the gzip walk. */
   def inflateDeflate(bytes: Array[Byte],
                      maxTotal: Long = MaxDecompressedBytes): Option[Array[Byte]] = {
-    def run(nowrap: Boolean): Option[Array[Byte]] = {
-      val inf = new Inflater(nowrap)
-      val out = new java.io.ByteArrayOutputStream(8192)
-      try {
+    def run(nowrap: Boolean): Option[Array[Byte]] =
+      Zlib.withInflater(nowrap) { inf =>
         inf.setInput(bytes)
+        val out = new java.io.ByteArrayOutputStream(8192)
         val buf = new Array[Byte](8192)
         var total = 0L
-        while (!inf.finished()) {
+        var ok = true
+        while (ok && !inf.finished()) {
           val n =
             try inf.inflate(buf)
-            catch { case _: java.util.zip.DataFormatException => return None }
-          if (n == 0 && !inf.finished()) return None
-          total += n
-          if (total > maxTotal) return None
-          out.write(buf, 0, n)
+            catch { case _: java.util.zip.DataFormatException => ok = false; 0 }
+          if (ok) {
+            if (n == 0 && !inf.finished()) ok = false
+            else {
+              total += n
+              if (total > maxTotal) ok = false
+              else out.write(buf, 0, n)
+            }
+          }
         }
-        Some(out.toByteArray)
-      } finally inf.end()
-    }
+        if (ok) Some(out.toByteArray) else None
+      }
     run(nowrap = false).orElse(run(nowrap = true))
   }
 
@@ -423,19 +431,8 @@ object WarcCodec {
 
   /** zlib-wrapped deflate builder (the Content-Encoding: deflate wire
     * form). */
-  def zlibDeflate(payload: Array[Byte]): Array[Byte] = {
-    val def_ = new Deflater()
-    try {
-      def_.setInput(payload); def_.finish()
-      val out = new java.io.ByteArrayOutputStream(payload.length / 2 + 64)
-      val buf = new Array[Byte](8192)
-      while (!def_.finished()) {
-        val n = def_.deflate(buf)
-        out.write(buf, 0, n)
-      }
-      out.toByteArray
-    } finally def_.end()
-  }
+  def zlibDeflate(payload: Array[Byte]): Array[Byte] =
+    Zlib.deflateDefault(payload, nowrap = false)
 
   // ------------------------------------------------------------------
   // Charset sniffing + decode (WHATWG-style precedence)

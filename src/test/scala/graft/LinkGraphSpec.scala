@@ -29,6 +29,33 @@ class LinkGraphSpec extends AnyFunSuite {
     assert(r == Seq((0L, 366503875924L), (1L, 210739728655L), (2L, 522268023191L)))
   }
 
+  test("pagerank: deep iteration (checkpointed every 5) matches the scalar replay") {
+    import spark.implicits._
+    // iters=12 crosses the in-loop reliable checkpoints at i=5 and i=10;
+    // the expected ranks come from a pure-Scala replay of the truncating
+    // integer recurrence, independent of the DataFrame loop
+    val n = 40
+    val edgeSeq = (0 until n).flatMap { u =>
+      Seq((u.toLong, ((u * 7 + 1) % n).toLong), (u.toLong, ((u * 13 + 3) % n).toLong))
+    }
+    val edges = edgeSeq.toDF("src", "dst")
+    val nodes = (0 until n).map(_.toLong).toDF("node")
+    val iters = 12
+    val got = LinkGraph.pagerankFixedPoint(edges, nodes, iters)
+      .as[(Long, Long)].collect().toMap
+
+    val outdeg = edgeSeq.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val r0 = LinkGraph.RankScale / n
+    val base = r0 * 15 / 100
+    var ranks = Map((0 until n).map(u => u.toLong -> r0): _*)
+    for (_ <- 0 until iters) {
+      val mass = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+      edgeSeq.foreach { case (s, d) => mass(d) += ranks(s) / outdeg(s) }
+      ranks = ranks.keys.map(u => u -> (base + 85L * mass(u) / 100L)).toMap
+    }
+    assert(got == ranks)
+  }
+
   test("pagerank: mass is conserved up to truncation dust and ranking is sane") {
     import spark.implicits._
     val n = 40
