@@ -740,7 +740,7 @@ object MediaCodec {
       val t = prev; prev = cur; cur = t
       r += 1
     }
-    buildPng(w, h, Zlib.deflate6(raw))
+    buildPng(w, h, Zlib.deflate1(raw))
   }
 
   private def paeth(a: Int, b: Int, c: Int): Int = {
@@ -808,7 +808,7 @@ object MediaCodec {
       }
       p += 1
     }
-    buildPng(w, h, Zlib.deflate6(raw.toByteArray), interlace = 1)
+    buildPng(w, h, Zlib.deflate1(raw.toByteArray), interlace = 1)
   }
 
   /** Inflate + unfilter a truecolor 8-bit PNG's pixel data; returns the
@@ -1434,7 +1434,7 @@ object MediaCodec {
   /** Encode one PDF stream filter step (the synthesis twin of the
     * decoders in [[applyPdfFilters]]). */
   private[graft] def pdfFilterEncode(d: Array[Byte], f: String): Array[Byte] = f match {
-    case "FlateDecode" => Zlib.deflate6(d)
+    case "FlateDecode" => Zlib.deflate1(d)
     case "ASCIIHexDecode" =>
       val hex = "0123456789abcdef"
       val o = new ByteArrayOutputStream(d.length * 2 + 1)

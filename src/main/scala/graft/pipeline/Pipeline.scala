@@ -211,14 +211,23 @@ object Dedup {
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
-      val prop = edges.join(labels, edges("b") === labels("doc_id"))
-        .groupBy(col("a")).agg(min(col("component")).as("nbr_min"))
+      // one-shuffle iteration: next(x) = min over {own(x)} ∪ {component(b)
+      // : b neighbor of x} — the self rows ride the same union as the
+      // neighbor propagations, so ONE hash aggregation on doc_id replaces
+      // the old groupBy + join-back pair (same min, same labels; __chg =
+      // the new component undercut the node's own). Every node has
+      // exactly one self row, so __own is never null.
+      val viaEdges = edges.join(labels, edges("b") === labels("doc_id"))
+        .select(edges("a").as("doc_id"), col("component"), lit(false).as("__self"))
+      val selfRows = labels.select(col("doc_id"), col("component"), lit(true).as("__self"))
       // eager checkpoint = the iteration's only materialization; the label
       // table is tiny relative to the corpus (2 longs/doc)
-      val next = labels.join(prop, labels("doc_id") === prop("a"), "left")
-        .select(labels("doc_id"),
-          least(col("component"), coalesce(col("nbr_min"), col("component"))).as("component"),
-          (col("nbr_min") < col("component")).as("__chg"))
+      val next = selfRows.unionByName(viaEdges)
+        .groupBy(col("doc_id"))
+        .agg(min(col("component")).as("component"),
+          min(when(col("__self"), col("component"))).as("__own"))
+        .select(col("doc_id"), col("component"),
+          (col("component") < col("__own")).as("__chg"))
         .checkpoint(true)
       converged = next.where(col("__chg")).isEmpty
       labels = next.select(col("doc_id"), col("component"))

@@ -30,7 +30,7 @@ private[pipeline] object Zlib {
 
   private val deflaters = Array.tabulate(2)(w =>
     new Slot[Deflater](() => new Deflater(Deflater.DEFAULT_COMPRESSION, w == 1)))
-  private val deflaters6 = new Slot[Deflater](() => new Deflater(6))
+  private val deflaters1 = new Slot[Deflater](() => new Deflater(1))
   private val inflaters = Array.tabulate(2)(w =>
     new Slot[Inflater](() => new Inflater(w == 1)))
 
@@ -39,9 +39,13 @@ private[pipeline] object Zlib {
   def deflateDefault(payload: Array[Byte], nowrap: Boolean): Array[Byte] =
     deflaters(if (nowrap) 1 else 0).loan(_.reset())(run(_, payload))
 
-  /** Full one-shot deflate with a reused level-6 zlib-wrapped deflater. */
-  def deflate6(payload: Array[Byte]): Array[Byte] =
-    deflaters6.loan(_.reset())(run(_, payload))
+  /** Level-1 (BEST_SPEED) zlib-wrapped deflate for SYNTHESIS-ONLY streams
+    * whose compressed bytes nothing oracles or stores (PNG pixel fixtures,
+    * PDF FlateDecode fixture streams): the decoder inverts any level, and
+    * level 1 costs a fraction of level 6's match search. Still fully
+    * deterministic run to run. */
+  def deflate1(payload: Array[Byte]): Array[Byte] =
+    deflaters1.loan(_.reset())(run(_, payload))
 
   private def run(d: Deflater, payload: Array[Byte]): Array[Byte] = {
     d.setInput(payload); d.finish()
