@@ -217,8 +217,15 @@ object Dedup {
       // the old groupBy + join-back pair (same min, same labels; __chg =
       // the new component undercut the node's own). Every node has
       // exactly one self row, so __own is never null.
-      val viaEdges = edges.join(labels, edges("b") === labels("doc_id"))
-        .select(edges("a").as("doc_id"), col("component"), lit(false).as("__self"))
+      // iteration 1 needs no join at all: the initial labels are the
+      // identity (component(b) = b), so the neighbor propagation is a
+      // pure projection of the edge list
+      val viaEdges =
+        if (iter == 0)
+          edges.select(col("a").as("doc_id"), col("b").as("component"),
+            lit(false).as("__self"))
+        else edges.join(labels, edges("b") === labels("doc_id"))
+          .select(edges("a").as("doc_id"), col("component"), lit(false).as("__self"))
       val selfRows = labels.select(col("doc_id"), col("component"), lit(true).as("__self"))
       // eager checkpoint = the iteration's only materialization; the label
       // table is tiny relative to the corpus (2 longs/doc)
