@@ -502,7 +502,13 @@ object SparkEntry {
     "dd6_dedup_components" -> ((s, dir) => {
       val surv = Dedup.exactSurvivors(documents(s, dir))
       val pairs = Dedup.minhashCandidateAnchors(surv)
-      Dedup.connectedComponents(pairs, surv.select(col("doc_id")))
+      // node list via exactKeepIds: the SAME id set as surv.select(doc_id)
+      // (lowest doc_id per identical text) from a hash-agg that shuffles
+      // (hash, id) pairs instead of re-running the full-text window a
+      // second time just to project ids (the window copy feeding `pairs`
+      // is checkpointed inside connectedComponents)
+      Dedup.connectedComponents(pairs,
+          Dedup.exactKeepIds(documents(s, dir)).select(col("doc_id")))
         .orderBy("doc_id")
     }),
 
@@ -562,14 +568,21 @@ object SparkEntry {
           .when(col("lang") === "fr", typedLit(Tx1Vocab("fr")))
           .when(col("lang") === "es", typedLit(Tx1Vocab("es")))
           .otherwise(typedLit(Tx1Vocab("zh")))
+      // token columns unrolled (i is compile-time per column) instead of a
+      // transform(sequence(0,29), ...) lambda: higher-order functions are
+      // CodegenFallback — the old lambda interpreted CASE + element_at with
+      // boxing 30x per row; as 30 plain projection expressions the whole
+      // row stays in whole-stage codegen (values identical: same pmod/cast
+      // arithmetic per i, and concat_ws over columns == concat_ws over the
+      // array it replaced)
+      val tokens: Seq[Column] = (0 until 30).map { i =>
+        if (i % 3 == 2)
+          concat(lit("w"), pmod(col("doc_id") + lit(i), lit(7)).cast("string"))
+        else
+          element_at(vocabArr, (pmod(col("doc_id") + lit(i), lit(10)) + lit(1)).cast("int"))
+      }
       val ml = documents(s, dir)
-        .withColumn("vocabArr", vocabArr)
-        .select(col("lang").as("lang_label"),
-          concat_ws(" ", expr(
-            "transform(sequence(0, 29), i -> CASE WHEN i % 3 = 2 " +
-              "THEN concat('w', cast(pmod(doc_id + i, 7) as string)) " +
-              "ELSE element_at(vocabArr, cast(pmod(doc_id + i, 10) + 1 as int)) END)"))
-            .as("t"))
+        .select(col("lang").as("lang_label"), concat_ws(" ", tokens: _*).as("t"))
       ml.select(col("lang_label"), graft.functions.TextFunctions.lang_id(col("t")).as("lang_pred"))
         .groupBy(col("lang_label"), col("lang_pred")).agg(count(lit(1)).as("n"))
         .orderBy("lang_label", "lang_pred")
@@ -1436,8 +1449,11 @@ object SparkEntry {
     // stage independently oracled; this pins the composition)
     "pipe2_dedup_pipeline" -> ((s, dir) => {
       val surv = Dedup.exactSurvivors(documents(s, dir))
+      // node list via exactKeepIds — same id set, hash-agg instead of a
+      // second full-text window (see dd6)
       val comp = Dedup.connectedComponents(
-        Dedup.minhashCandidateAnchors(surv), surv.select(col("doc_id")))
+        Dedup.minhashCandidateAnchors(surv),
+        Dedup.exactKeepIds(documents(s, dir)).select(col("doc_id")))
       comp.agg(
         count(lit(1)).as("n_surv"),
         sum(when(col("doc_id") === col("component"), 1L).otherwise(0L)).as("n_kept"),

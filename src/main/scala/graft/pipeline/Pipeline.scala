@@ -203,11 +203,15 @@ object Dedup {
       .union(pairs.select(col("id2").as("a"), col("id1").as("b")))
       .distinct()
       .checkpoint(true)
-    // the initial label table (node -> itself) is NOT checkpointed: its
-    // lineage is just the node list, iteration 1's eager checkpoint cuts
-    // it anyway, and the old eager materialization cost one extra job +
-    // write per invocation for nothing
-    var labels = nodes.select(col("doc_id"), col("doc_id").as("component"))
+    // SUBGRAPH propagation: only nodes incident to a candidate edge can
+    // ever receive a label other than their own id (an isolated node has
+    // no neighbors to undercut it), so the iteration runs over the
+    // edge-incident node set only — at corpus scale the duplicate-pair
+    // subgraph is orders of magnitude smaller than the node list, so each
+    // iteration shuffles the dup subgraph, not the corpus. Isolated nodes
+    // attach with ONE final left join (their component = own id), instead
+    // of riding every iteration's aggregation unchanged.
+    var labels: DataFrame = null
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -217,25 +221,30 @@ object Dedup {
       // the old groupBy + join-back pair (same min, same labels; __chg =
       // the new component undercut the node's own). Every node has
       // exactly one self row, so __own is never null.
-      // iteration 1 needs no join at all: the initial labels are the
-      // identity (component(b) = b), so the neighbor propagation is a
-      // pure projection of the edge list
-      val viaEdges =
+      // iteration 1 needs no join and no union at all: the initial labels
+      // are the identity (component(b) = b), so min over {x} ∪ {neighbors}
+      // is ONE hash aggregation of the edge list itself — which also
+      // seeds the label table with exactly the edge-incident nodes
+      val next = (
         if (iter == 0)
-          edges.select(col("a").as("doc_id"), col("b").as("component"),
-            lit(false).as("__self"))
-        else edges.join(labels, edges("b") === labels("doc_id"))
-          .select(edges("a").as("doc_id"), col("component"), lit(false).as("__self"))
-      val selfRows = labels.select(col("doc_id"), col("component"), lit(true).as("__self"))
+          edges.groupBy(col("a").as("doc_id"))
+            .agg(min(col("b")).as("__nb"))
+            .select(col("doc_id"), least(col("doc_id"), col("__nb")).as("component"),
+              (col("__nb") < col("doc_id")).as("__chg"))
+        else {
+          val viaEdges = edges.join(labels, edges("b") === labels("doc_id"))
+            .select(edges("a").as("doc_id"), col("component"), lit(false).as("__self"))
+          val selfRows = labels.select(col("doc_id"), col("component"), lit(true).as("__self"))
+          selfRows.unionByName(viaEdges)
+            .groupBy(col("doc_id"))
+            .agg(min(col("component")).as("component"),
+              min(when(col("__self"), col("component"))).as("__own"))
+            .select(col("doc_id"), col("component"),
+              (col("component") < col("__own")).as("__chg"))
+        }
       // eager checkpoint = the iteration's only materialization; the label
-      // table is tiny relative to the corpus (2 longs/doc)
-      val next = selfRows.unionByName(viaEdges)
-        .groupBy(col("doc_id"))
-        .agg(min(col("component")).as("component"),
-          min(when(col("__self"), col("component"))).as("__own"))
-        .select(col("doc_id"), col("component"),
-          (col("component") < col("__own")).as("__chg"))
-        .checkpoint(true)
+      // table is tiny relative to the corpus (2 longs per DUP-PAIR node)
+      ).checkpoint(true)
       converged = next.where(col("__chg")).isEmpty
       labels = next.select(col("doc_id"), col("component"))
       iter += 1
@@ -246,7 +255,12 @@ object Dedup {
       throw new IllegalStateException(
         s"connectedComponents did not converge within $maxIter iterations " +
           "(candidate graph has label-propagation distance > maxIter); raise maxIter")
-    labels
+    // attach isolated nodes: one left join on doc_id (labels cover only
+    // edge-incident nodes; everything else keeps its own id) — locally a
+    // broadcast, at scale one shuffle TOTAL instead of one per iteration
+    nodes.select(col("doc_id"))
+      .join(labels.withColumnRenamed("component", "__c"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("__c"), col("doc_id")).as("component"))
   }
 
   /** Exact n-gram (w-token shingle) Jaccard between consecutive doc_ids —
