@@ -798,7 +798,7 @@ object SparkEntry {
     // WAVs (% 6 = 2) and MP3s (% 6 = 5) to the AV branch, raw payload
     // bytes (% 6 = 3) to passthrough
     "mm2_pdf_layout_route" -> ((s, dir) => {
-      val media = Multimodal.synthTable(documents(s, dir)) { (id, payload) =>
+      val media = Multimodal.synthTable(documents(s, dir), spread = false) { (id, payload) =>
         val n = payload.length
         (id % 6) match {
           case 0 =>
@@ -829,7 +829,7 @@ object SparkEntry {
     // 64-bit read is actually proven); synth -> parse through the real
     // byte layouts, oracle replays the synthesis arithmetic
     "mm3_av_meta" -> ((s, dir) => {
-      val media = Multimodal.synthTable(documents(s, dir)) { (id, payload) =>
+      val media = Multimodal.synthTable(documents(s, dir), spread = false) { (id, payload) =>
         val n = payload.length
         if (id % 2 == 0)
           (s"media://$id.wav",
@@ -1083,7 +1083,7 @@ object SparkEntry {
     // real RIFF chunk walk. Oracle replays dims + exact container
     // overhead from the synthesis formulas.
     "mm14_webp_meta" -> ((s, dir) => {
-      val media = Multimodal.synthTable(documents(s, dir)) { (id, payload) =>
+      val media = Multimodal.synthTable(documents(s, dir), spread = false) { (id, payload) =>
         val n = payload.length
         (s"media://$id.webp",
           graft.pipeline.MediaCodec.buildWebp((id % 3).toInt, 16 + n % 64,
@@ -1099,7 +1099,7 @@ object SparkEntry {
     // the CBR header estimate audio_bytes*8/bitrate — pure integer
     // arithmetic the oracle replays.
     "mm15_mp3_meta" -> ((s, dir) => {
-      val media = Multimodal.synthTable(documents(s, dir)) { (id, payload) =>
+      val media = Multimodal.synthTable(documents(s, dir), spread = false) { (id, payload) =>
         val n = payload.length
         val bytes = (id % 4).toInt match {
           case 0 => graft.pipeline.MediaCodec.buildMp3(mpeg1 = true, 9, 0,
@@ -1121,7 +1121,7 @@ object SparkEntry {
     // doc id, byte order alternating II/MM, every fifth JPEG bare (no
     // EXIF -> 0). Dims must still parse through the inserted APP1.
     "mm16_exif_orientation" -> ((s, dir) => {
-      val media = Multimodal.synthTable(documents(s, dir)) { (id, payload) =>
+      val media = Multimodal.synthTable(documents(s, dir), spread = false) { (id, payload) =>
         val n = payload.length
         val base = graft.pipeline.MediaCodec.buildJpeg(16 + n % 64, 16 + n % 48, payload)
         val bytes =

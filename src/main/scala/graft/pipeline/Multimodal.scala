@@ -136,10 +136,26 @@ object Multimodal {
   /** Shared synth plumbing: one media row per doc, content built by `f`
     * from (doc_id, UTF-8 payload) -> (media_ref, container bytes). The
     * mm1/mm2/mm3 queries parameterize this with different builders. */
-  def synthTable(docs: DataFrame)(f: (Long, Array[Byte]) => (String, Array[Byte])): DataFrame = {
+  /** `spread = true` redistributes rows over the session's
+    * shuffle-partition count BEFORE the codec work: scan splits follow
+    * input file BYTES, which underparallelizes per-row codec CPU (and
+    * mega-doc skew concentrates it; same rationale as
+    * ShadowSpark.repartitionByDoc). Worth one shuffle of the text only
+    * when the builder + downstream decode dominate it — deep pixel/PDF/
+    * WARC decodes yes, header-only walks no (their per-row work is at
+    * scan speed, so the exchange is pure overhead; those call sites pass
+    * spread = false). The count is the deployment-sized
+    * spark.sql.shuffle.partitions, never a constant. */
+  def synthTable(docs: DataFrame, spread: Boolean = true)
+                (f: (Long, Array[Byte]) => (String, Array[Byte])): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id"), col("text")).as[(Long, String)].mapPartitions { it =>
+    val base = docs.select(col("doc_id"), col("text"))
+    val part =
+      if (!spread) base
+      else base.repartition(
+        spark.conf.get("spark.sql.shuffle.partitions").toInt, col("doc_id"))
+    part.as[(Long, String)].mapPartitions { it =>
       it.map { case (id, text) =>
         val (ref, content) = f(id, text.getBytes(UTF_8))
         MediaRow(id, ref, content)
@@ -154,7 +170,7 @@ object Multimodal {
     * container overhead is exact arithmetic (MediaCodec.pngBytes etc.)
     * so the oracle replays n_bytes too. */
   def mediaTable(docs: DataFrame): DataFrame =
-    synthTable(docs) { (id, payload) =>
+    synthTable(docs, spread = false) { (id, payload) =>
       val (fmt, content) = MediaCodec.synthImage(id, payload)
       (s"media://$id.$fmt", content)
     }

@@ -128,11 +128,16 @@ class PlanSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(1500))
   }
 
-  test("wa1: WARC ingestion is a scan-local explode — no shuffle before the final sort") {
-    // gunzip + WARC/HTTP/charset decode all ride inside one mapPartitions;
-    // the only Exchange allowed is the output orderBy's range partitioning
+  test("wa1: one spread repartition of raw file rows, then a scan-local explode") {
+    // gunzip + WARC/HTTP/charset decode all ride inside one mapPartitions.
+    // ONE user repartition of the raw (doc_id, text) rows is allowed BELOW
+    // the decode (synthTable's spread: parallelizes decode CPU across the
+    // session's shuffle partitions and spreads whole-file stragglers); the
+    // decode output itself must flow to the orderBy without any further
+    // hash exchange, and no join may appear
     val p = plan("wa1_warc_records")
-    assert(!p.contains("hashpartitioning"), p.take(2000))
+    assert("hashpartitioning".r.findAllIn(p).size <= 1, p.take(2000))
+    assert(p.contains("REPARTITION_BY_NUM"), p.take(2000))
     assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), p.take(2000))
   }
 
