@@ -260,6 +260,17 @@ class SparkSpec extends AnyFunSuite {
       5L -> 5L, 6L -> 5L, 4L -> 4L, 7L -> 7L, 8L -> 8L))
   }
 
+  test("dd6: empty candidate set leaves every node its own component") {
+    // the subgraph propagation path: with no edges the label table is
+    // empty after iteration 1 (converged immediately) and every node must
+    // come back from the final isolated-node attach join with its own id
+    val pairs = Seq.empty[(Long, Long)].toDF("id1", "id2")
+    val nodes = (1L to 5L).toDF("doc_id")
+    val comp = Dedup.connectedComponents(pairs, nodes)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == (1L to 5L).map(i => i -> i).toMap)
+  }
+
   test("dd5: LSH-bucketed near-dup finds planted pair; exact path is the recall baseline") {
     val base = (0 until 30).map { i =>
       val v = (0 until 16).map(k =>
